@@ -1,0 +1,168 @@
+"""Deterministic image codecs for the validation engine.
+
+The engine's per-row invariant (BASELINE.json input_hint) is: decode the
+``bytes`` column, compare pixels against the deterministic reference
+rendering, require PSNR >= 40 dB for lossy formats (allclose for
+lossless) plus caption equality.
+
+This container has no imaging libraries (no PIL/cv2), so:
+
+* ``png`` is a REAL, self-contained PNG codec (spec-compliant subset:
+  8-bit RGB, zlib DEFLATE, filter types 0-4 on decode, filter 0 on
+  encode).  Round-trips with any standard PNG reader.
+* ``jpeg`` / ``webp`` are DETERMINISTIC STUB codecs: a tiny container
+  (magic + dims + zlib-compressed uniformly-quantized pixels) that
+  simulates lossy quantization with an exactly reproducible error,
+  so the PSNR arithmetic downstream is real.  Swap ``encode_stub_lossy``
+  / ``decode_stub_lossy`` for a real libjpeg/libwebp binding in
+  production — the Spark-side plumbing (binary column, Arrow batch
+  decode, schema) does not change.
+
+All functions are pure and executor-safe (no globals, no RNG).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+STUB_MAGIC = {"jpeg": b"QJPG", "webp": b"QWBP"}
+# quantization step per stub format at default quality; step 8 yields
+# PSNR ~= 20*log10(255 / (8/sqrt(12))) ~= 40.9 dB — just above the
+# 40 dB gate, like a high-quality JPEG.
+DEFAULT_QSTEP = {"jpeg": 8, "webp": 8}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a standard RGB8 PNG."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    # filter byte 0 (None) per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4). Returns (h, stride) bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG produced by ``encode_png`` (or any 8-bit RGB,
+    non-interlaced PNG) into an (h, w, 3) uint8 array."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + stride)
+    if (raw[:, 0] == 0).all():  # fast path: our own encoder output
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+
+
+def encode_stub_lossy(img: np.ndarray, fmt: str, qstep: int | None = None) -> bytes:
+    """STUB lossy encoder (see module docstring): deterministic uniform
+    quantization with step ``qstep`` + zlib. NOT a real JPEG/WebP."""
+    q = qstep or DEFAULT_QSTEP[fmt]
+    h, w = img.shape[:2]
+    quant = ((img.astype(np.int32) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
+    return (
+        STUB_MAGIC[fmt]
+        + struct.pack(">IIB", w, h, min(q, 255))
+        + zlib.compress(quant.tobytes(), 6)
+    )
+
+
+def decode_stub_lossy(data: bytes) -> np.ndarray:
+    for fmt, magic in STUB_MAGIC.items():
+        if data[:4] == magic:
+            w, h, _q = struct.unpack(">IIB", data[4:13])
+            pix = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+            return pix.reshape(h, w, 3).copy()
+    raise ValueError("not a stub-lossy payload")
+
+
+def encode_image(img: np.ndarray, fmt: str, qstep: int | None = None) -> bytes:
+    if fmt == "png":
+        return encode_png(img)
+    if fmt in STUB_MAGIC:
+        return encode_stub_lossy(img, fmt, qstep)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in STUB_MAGIC:
+        return decode_stub_lossy(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; ``inf`` for identical images,
+    ``-inf`` for shape mismatch (counts as a hard pixel violation)."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))

@@ -1,0 +1,190 @@
+"""Deterministic synthetic image+caption table generator (FIXTURES.md §1-2).
+
+Every value derives from the row index alone (seed constant folded in),
+so any executor can regenerate the reference rendering for a given
+``image_id`` without shuffling pixel data — the key scale property: the
+pixel invariant never moves image bytes through a shuffle, it re-renders
+from the id (SURVEY.md §7.3).
+
+Distributed generation: ``spark.range(n)`` → ``mapInPandas`` (Arrow
+batches, no per-row Python round trips).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .codecs import encode_image
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+CAPTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), True),
+    ]
+)
+
+SIZES = np.array([64, 128, 256, 512], dtype=np.int64)
+SIZE_W = np.array([4, 3, 2, 1], dtype=np.float64)
+FMTS = np.array(["png", "jpeg", "webp"])
+FMT_W = np.array([5, 4, 1], dtype=np.float64)  # skewed on purpose
+NOUNS = [
+    "a red bicycle", "two dogs on a beach", "an old lighthouse", "a bowl of ramen",
+    "a snowy mountain pass", "the city skyline at dusk", "a stack of books",
+    "a vintage typewriter", "a field of sunflowers", "an origami crane",
+    "a rusty pickup truck", "a coral reef", "a chess board mid-game",
+    "a steaming coffee cup", "a hot air balloon", "a wooden rowboat",
+]
+SEED = 42
+
+
+def _u64(name: str, i: int) -> int:
+    """Stable 64-bit value derived from (seed, name, index)."""
+    d = hashlib.md5(f"{SEED}:{name}:{i}".encode()).digest()
+    return int.from_bytes(d[:8], "little")
+
+
+def row_params(i: int) -> dict:
+    """Deterministic logical row i → all column values except bytes."""
+    wi = _u64("w", i) % int(SIZE_W.sum())
+    hi = _u64("h", i) % int(SIZE_W.sum())
+    w = int(SIZES[np.searchsorted(SIZE_W.cumsum(), wi, side="right")])
+    h = int(SIZES[np.searchsorted(SIZE_W.cumsum(), hi, side="right")])
+    fi = _u64("fmt", i) % int(FMT_W.sum())
+    fmt = str(FMTS[np.searchsorted(FMT_W.cumsum(), fi, side="right")])
+    caption = f"a photo of {NOUNS[i % len(NOUNS)]} number {i}"
+    # phash: prefix-clustered (top byte = fmt/size bucket) to exercise
+    # skew handling; low bits from the content hash.
+    prefix = (FMTS.tolist().index(fmt) * 4 + int(np.log2(w)) - 6) & 0xFF
+    ph = (prefix << 56) | (_u64("phash", i) & 0x00FFFFFFFFFFFFFF)
+    ph = ph - (1 << 64) if ph >= (1 << 63) else ph
+    return {
+        "image_id": f"img_{i:012d}",
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+
+
+def render_image(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic reference rendering for an image_id: a seeded
+    gradient + block-noise pattern. Pure function of (id, w, h)."""
+    i = int(image_id.split("_")[-1])
+    rng = np.random.RandomState((_u64("pix", i)) % (2**31 - 1))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    # 8x8 block noise so lossy quantization has structure to chew on
+    noise = rng.randint(-32, 33, size=(max(h // 8, 1), max(w // 8, 1), 3))
+    noise = np.kron(noise, np.ones((8, 8, 1), dtype=np.int32))[:h, :w, :]
+    return (base + noise).clip(0, 255).astype(np.uint8)
+
+
+def make_row(i: int, corrupt_pixels: bool = False) -> dict:
+    p = row_params(i)
+    img = render_image(p["image_id"], p["w"], p["h"])
+    if corrupt_pixels:
+        # deterministic coarse quantization (~28 dB PSNR) — fails the
+        # 40 dB gate in ANY format, including lossless png
+        img = (((img.astype(np.int32) // 32) * 32) + 16).clip(0, 255).astype(np.uint8)
+    p["bytes"] = encode_image(img, p["fmt"])
+    return p
+
+
+def generate_images(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    dup_ids: int = 0,
+    bad_pixel_ids: int = 0,
+    null_dim_ids: int = 0,
+) -> DataFrame:
+    """Distributed deterministic images table with optional injected
+    faults (FIXTURES.md §3), all derived from row index:
+
+    * rows [0, dup_ids)            → re-emitted once more (duplicate image_id)
+    * rows [0, bad_pixel_ids)      → bytes re-encoded at coarse
+      quantization (PSNR < 40 dB) — pixel-invariant violations
+    * rows [0, null_dim_ids)       → w/h set to null — schema violations
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                logical = i % n  # ids >= n are the duplicate re-emits
+                r = make_row(logical, corrupt_pixels=logical < bad_pixel_ids)
+                if logical < null_dim_ids:
+                    r["w"] = None
+                    r["h"] = None
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    total = n + dup_ids
+    return spark.range(0, total, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_captions(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    drop_ids: int = 0,
+    alien_ids: int = 0,
+    mutate_ids: int = 0,
+) -> DataFrame:
+    """Companion captions table (FIXTURES.md §2): same id space with
+    controlled perturbations, counted exactly so tests are closed-form.
+
+    * rows [n-drop_ids, n)    → omitted            (images missing captions)
+    * alien_ids extra rows    → ids not in images  (captions missing images)
+    * rows [0, mutate_ids)    → caption text mutated (conflict violations)
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if i >= n:  # alien rows
+                    out.append(
+                        {"image_id": f"alien_{i - n:08d}", "caption": f"alien caption {i - n}"}
+                    )
+                    continue
+                if i >= n - drop_ids:
+                    continue
+                p = row_params(i)
+                cap = p["caption"] + " [mutated]" if i < mutate_ids else p["caption"]
+                out.append({"image_id": p["image_id"], "caption": cap})
+            yield pd.DataFrame(out, columns=["image_id", "caption"])
+
+    return spark.range(0, n + alien_ids, numPartitions=parts).mapInPandas(
+        gen, CAPTIONS_SCHEMA
+    )

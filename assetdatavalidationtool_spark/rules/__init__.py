@@ -1,0 +1,31 @@
+"""Declarative validation rules compiled to DataFrame plans.
+
+Reference parity map (SURVEY.md §7.1):
+
+* SchemaRule        ← header discovery/padding   (ExcelReader.cs:18-85,164-166)
+* StatsRule         ← value-overlap stats        (ColumnOverlapMapper.cs:31-43)
+* UniquenessRule    ← first-row-wins key index   (ReportGenerator.cs:150-156)
+* ReferentialRule   ← MatchesAll / MissingByFile (Validator.cs:67-91)
+* RowInvariantRule  ← Conflicts/Deltas compare   (Validator.cs:93-142)
+* DriftRule         ← field-mapping score distributions (ReportGenerator.cs:170-205)
+"""
+
+from .base import RuleContext, RuleSet, VIOLATIONS_SCHEMA
+from .schema import SchemaRule
+from .stats import StatsRule
+from .uniqueness import UniquenessRule
+from .referential import ReferentialRule
+from .row_invariant import RowInvariantRule
+from .drift import DriftRule
+
+__all__ = [
+    "RuleContext",
+    "RuleSet",
+    "VIOLATIONS_SCHEMA",
+    "SchemaRule",
+    "StatsRule",
+    "UniquenessRule",
+    "ReferentialRule",
+    "RowInvariantRule",
+    "DriftRule",
+]

@@ -1,0 +1,117 @@
+"""DriftRule — KS / PSI distribution-drift checks on column histograms.
+
+Scale analog of the reference's field-mapping match-score distributions
+(ReportGenerator.cs:170-205): instead of comparing value overlap between
+two in-memory tables, we compare the *distribution* of a column against
+a stored reference snapshot.
+
+Execution shape: the histogram is one ``groupBy(bin).count()`` — a
+partial+final hash aggregate whose output is `num_bins` rows, so the
+KS/PSI scalar math runs driver-side on a tiny collected table (no UDAF).
+For skewed categorical columns (``fmt`` has ~3 values) the aggregate is
+already minimal; for `phash` we bin by the top byte (the cluster
+prefix), which both bounds bins at 256 and measures exactly the skew
+dimension.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import Rule, RuleContext
+
+
+def histogram(df: DataFrame, col: str, kind: str, lo: float = 0.0, hi: float = 1024.0,
+              bins: int = 32) -> DataFrame:
+    """(bin, cnt) histogram. kind: numeric | categorical | phash_prefix."""
+    if kind == "categorical":
+        b = F.col(col).cast("string")
+    elif kind == "phash_prefix":
+        b = F.conv(F.shiftright(F.col(col), 56).cast("string"), 10, 10)
+    else:  # numeric fixed-width
+        width = (hi - lo) / bins
+        b = F.least(
+            F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("string")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ks_psi(cur: dict[str, int], ref: dict[str, float]) -> tuple[float, float]:
+    """KS statistic + PSI between a current histogram (counts) and a
+    reference distribution (fractions). Driver-side on tiny dicts."""
+    bins = sorted(set(cur) | set(ref))
+    n = sum(cur.values()) or 1
+    eps = 1e-6
+    ks = 0.0
+    psi = 0.0
+    c_cdf = r_cdf = 0.0
+    for b in bins:
+        p = cur.get(b, 0) / n
+        q = ref.get(b, 0.0)
+        c_cdf += p
+        r_cdf += q
+        ks = max(ks, abs(c_cdf - r_cdf))
+        psi += (p - q) * math.log((p + eps) / (q + eps))
+    return ks, psi
+
+
+@dataclass
+class DriftRule(Rule):
+    column: str = "w"
+    kind: str = "numeric"  # numeric | categorical | phash_prefix
+    reference: dict[str, float] = field(default_factory=dict)  # bin -> fraction
+    lo: float = 0.0
+    hi: float = 1024.0
+    bins: int = 32
+    ks_threshold: float = 0.1
+    psi_threshold: float = 0.2
+    name: str = "drift"
+
+    def __post_init__(self):
+        self.name = f"drift({self.column})"
+
+    def _scores(self, ctx: RuleContext) -> tuple[float, float]:
+        hist = histogram(ctx.images, self.column, self.kind, self.lo, self.hi, self.bins)
+        cur = {r["bin"]: r["cnt"] for r in hist.collect()}
+        return ks_psi(cur, self.reference)
+
+    def metrics(self, ctx: RuleContext) -> DataFrame:
+        ks, psi = self._scores(ctx)
+        return ctx.spark.createDataFrame(
+            [("ks", self.column, float(ks)), ("psi", self.column, float(psi))],
+            "metric string, column string, value double",
+        )
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        ks, psi = self._scores(ctx)
+        rows = []
+        if ks > self.ks_threshold:
+            rows.append(
+                (self.name, None, self.column, f"ks drift {ks:.4f} > {self.ks_threshold}", None)
+            )
+        if psi > self.psi_threshold:
+            rows.append(
+                (self.name, None, self.column, f"psi drift {psi:.4f} > {self.psi_threshold}", None)
+            )
+        out = ctx.empty_violations()
+        if rows:
+            out = out.unionByName(ctx.spark.createDataFrame(rows, out.schema))
+        return out
+
+
+def snapshot_reference(df: DataFrame, column: str, kind: str, lo: float = 0.0,
+                       hi: float = 1024.0, bins: int = 32) -> dict[str, float]:
+    """Build a reference distribution snapshot (bin -> fraction) from a
+    known-good table; store it in the run config / manifest."""
+    hist = histogram(df, column, kind, lo, hi, bins).collect()
+    total = sum(r["cnt"] for r in hist) or 1
+    return {r["bin"]: r["cnt"] / total for r in hist}

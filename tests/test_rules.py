@@ -1,0 +1,147 @@
+"""End-to-end rule engine tests with exactly-counted injected faults
+(FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.datagen import generate_captions, generate_images
+from assetdatavalidationtool_spark.rules import (
+    DriftRule,
+    ReferentialRule,
+    RowInvariantRule,
+    RuleContext,
+    RuleSet,
+    SchemaRule,
+    StatsRule,
+    UniquenessRule,
+)
+from assetdatavalidationtool_spark.rules.drift import snapshot_reference
+from assetdatavalidationtool_spark.rules.schema import ColumnSpec
+
+N = 200
+DUPS = 3
+BAD_PIXELS = 4
+NULL_DIMS = 2
+DROPPED = 5
+ALIENS = 4
+MUTATED = 6
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    images = generate_images(
+        spark, N, partitions=4, dup_ids=DUPS, bad_pixel_ids=BAD_PIXELS,
+        null_dim_ids=NULL_DIMS,
+    ).cache()
+    captions = generate_captions(
+        spark, N, partitions=4, drop_ids=DROPPED, alien_ids=ALIENS,
+        mutate_ids=MUTATED,
+    ).cache()
+    images.count(), captions.count()
+    return RuleContext(spark=spark, images=images, captions=captions, num_buckets=16)
+
+
+def schema_specs():
+    return [
+        ColumnSpec("image_id", "string", nullable=False),
+        ColumnSpec("bytes", "binary", nullable=False),
+        ColumnSpec("w", "int", nullable=False, domain=(F.col("w") > 0) & (F.col("w") <= 4096)),
+        ColumnSpec("h", "int", nullable=False),
+        ColumnSpec("fmt", "string", nullable=False,
+                   domain=F.col("fmt").isin("png", "jpeg", "webp")),
+        ColumnSpec("caption", "string", nullable=False),
+        ColumnSpec("phash", "bigint", nullable=False),
+    ]
+
+
+def test_uniqueness_counts_duplicates(ctx):
+    vio = UniquenessRule(["image_id"]).violations(ctx)
+    rows = vio.collect()
+    assert len(rows) == DUPS
+    assert all(r["detail"] == "duplicate count=2" for r in rows)
+
+
+def test_uniqueness_salted_matches_unsalted(ctx):
+    a = UniquenessRule(["image_id"]).violations(ctx).select("key").collect()
+    b = UniquenessRule(["image_id"], salted=True).violations(ctx).select("key").collect()
+    assert sorted(r["key"] for r in a) == sorted(r["key"] for r in b)
+
+
+def test_schema_null_dims(ctx):
+    vio = SchemaRule(schema_specs()).violations(ctx)
+    nulls = vio.where(F.col("detail") == "null value").collect()
+    # null w + null h per faulted row; duplicated faulted rows count double
+    expected = 2 * (NULL_DIMS + min(NULL_DIMS, DUPS))
+    assert len(nulls) == expected
+    assert vio.where(F.col("detail") == "missing column").count() == 0
+
+
+def test_referential_both_directions(ctx):
+    vio = ReferentialRule().violations(ctx)
+    missing_caption = vio.where(F.col("detail") == "missing caption row")
+    missing_image = vio.where(F.col("detail") == "missing image row")
+    # dropped caption rows: ids [N-DROPPED, N); duplicated image ids are
+    # low indices so they don't overlap — each dropped id appears once
+    # per image row occurrence
+    assert missing_caption.count() == DROPPED
+    assert missing_image.count() == ALIENS
+    assert missing_image.select("key").distinct().count() == ALIENS
+
+
+def test_row_invariant_pixels_and_captions(ctx):
+    rule = RowInvariantRule()
+    vio = rule.violations(ctx).cache()
+    pix = vio.where(F.col("column") == "bytes")
+    # bad-pixel rows [0, BAD_PIXELS) + their duplicate re-emits [0, DUPS)
+    assert pix.count() == BAD_PIXELS + min(BAD_PIXELS, DUPS)
+    # caption column in images is generated correct, so no caption violations
+    assert vio.where(F.col("column") == "caption").count() == 0
+    checks = rule.checks(ctx)
+    ok = checks.where(F.col("pixel_ok") & F.col("caption_ok"))
+    assert ok.count() == (N + DUPS) - (BAD_PIXELS + min(BAD_PIXELS, DUPS))
+
+
+def test_stats_metrics_and_bounds(ctx):
+    rule = StatsRule(columns=["w", "h", "fmt", "phash"], bounds={"w": (1, 512)})
+    m = {(r["column"], r["metric"]): r["value"] for r in rule.metrics(ctx).collect()}
+    assert m[("fmt", "approx_distinct")] == pytest.approx(3, abs=1)
+    assert m[("w", "min")] >= 64 and m[("w", "max")] <= 512
+    assert 0 < m[("w", "null_frac")] < 0.1
+    assert rule.violations(ctx).count() == 0
+
+
+def test_drift_fires_on_shifted_distribution(ctx, spark):
+    ref = snapshot_reference(ctx.images, "fmt", "categorical")
+    same = DriftRule(column="fmt", kind="categorical", reference=ref)
+    assert same.violations(ctx).count() == 0
+    shifted = {"png": 0.05, "jpeg": 0.05, "webp": 0.9}
+    drifted = DriftRule(column="fmt", kind="categorical", reference=shifted)
+    assert drifted.violations(ctx).count() > 0
+
+
+def test_ruleset_verdicts(ctx):
+    rs = RuleSet(
+        [
+            SchemaRule(schema_specs()),
+            UniquenessRule(["image_id"]),
+            ReferentialRule(),
+            RowInvariantRule(),
+        ]
+    )
+    out = rs.run(ctx)
+    verdicts = out["verdicts"].cache()
+    # every (rule, bucket) pair present
+    n_buckets = verdicts.select("bucket").distinct().count()
+    assert verdicts.count() == 4 * n_buckets
+    total_vio = verdicts.agg(F.sum("violation_count")).collect()[0][0]
+    assert total_vio == out["violations"].count()
+    # pass flag consistent
+    bad = verdicts.where((F.col("violation_count") == 0) != F.col("pass")).count()
+    assert bad == 0
+    # rows_scanned sums to table size
+    per_rule_rows = (
+        verdicts.groupBy("rule").agg(F.sum("rows_scanned").alias("s")).collect()
+    )
+    assert all(r["s"] == N + DUPS for r in per_rule_rows)
