@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the engine spine (uniqueness + referential rules
+→ per-bucket verdicts) on sf0.001. ``queries()``/``oracle_sql()`` come
+from the registry in ``assetdatavalidationtool_spark.contract`` — one
+entry per operator family from SURVEY.md §2.
 """
 
 from __future__ import annotations
@@ -12,27 +11,40 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.contract import QUERIES
+from assetdatavalidationtool_spark.rules import (
+    ReferentialRule,
+    RuleContext,
+    RuleSet,
+    UniquenessRule,
+)
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validation-engine spine (scan → rules → per-bucket
+    verdicts) applied to the orders/lineitem key relationship."""
+    orders = spark.read.parquet(f"{SF0001}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.col("o_totalprice").alias("w"),
+    )
+    lineitem = spark.read.parquet(f"{SF0001}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("image_id")
+    )
+    ctx = RuleContext(
+        spark=spark, images=orders, captions=lineitem, num_buckets=16,
+        run_id="entry_smoke",
+    )
+    rs = RuleSet([UniquenessRule(["image_id"]), ReferentialRule()])
+    return rs.run(ctx)["verdicts"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: cq.fn for name, cq in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: cq.sql for name, cq in QUERIES.items() if cq.sql is not None}
