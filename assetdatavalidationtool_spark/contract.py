@@ -502,3 +502,374 @@ def q_column_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_overlap(
         {"customer": c, "supplier": s}, use_header_normalizer=False
     )
+
+
+# ===========================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ===========================================================================
+from .operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.similarity import (  # noqa: E402
+    brute_force_cosine_topk,
+    embedding_norms,
+    hyperplanes,
+    lsh_buckets,
+)
+from .operators.text import (  # noqa: E402
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+# shared SQL CTE: normalized text + tokens + 3-gram shingles (mirrors
+# dedup._norm_text / dedup.shingle exactly)
+_SH_CTE = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+      FROM documents {where}
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+               THEN list_transform(generate_series(1, len(tk) - 2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE [array_to_string(tk, ' ')] END) AS shingle
+      FROM toks
+    ), clean AS (SELECT doc_id, shingle FROM sh WHERE shingle <> '')
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM all_docs
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_duplicates(docs.unionByName(dup), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _SH_CTE.format(where="")
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM clean GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM clean a JOIN clean b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
+           round(intersection * 1.0 / (sa.sz + sb.sz - intersection), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(intersection * 1.0 / (sa.sz + sb.sz - intersection), 4) >= 0.2
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.2, max_shingle_df=None,
+    )
+
+
+_MH = "('0x' || substr(md5({seed} || ':' || shingle), 1, 8))::BIGINT"
+
+@register(
+    "dedup_minhash_signatures",
+    "WITH "
+    + _SH_CTE.format(where="WHERE doc_id < 100")
+    + f"""
+    SELECT doc_id,
+           min({_MH.format(seed="'0'")}) AS mh_0,
+           min({_MH.format(seed="'1'")}) AS mh_1,
+           min({_MH.format(seed="'2'")}) AS mh_2,
+           min({_MH.format(seed="'3'")}) AS mh_3
+    FROM clean GROUP BY doc_id
+    """,
+)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=4)
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _SH_CTE.format(where="")
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"min({_MH.format(seed=repr(str(s)))}) AS mh_{s}" for s in range(8))}
+      FROM clean GROUP BY doc_id
+    ), banded AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {b} AS band, md5(mh_{2*b}::VARCHAR || '_' || mh_{2*b+1}::VARCHAR) AS bkey FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=8, bands=4, max_bucket_size=None,
+    )
+
+
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 100
+    ), tw AS (
+      SELECT doc_id, tok, count(*) AS w,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th
+      FROM toks GROUP BY doc_id, tok
+    ), s AS (
+      SELECT doc_id,
+             {sums}
+      FROM tw GROUP BY doc_id
+    )
+    SELECT doc_id, ({packed})::BIGINT AS simhash FROM s
+""".format(
+    sums=", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN w ELSE -w END) AS s{b}"
+        for b in range(16)
+    ),
+    packed=" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.qv, q.qv)) *
+              sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, len(embedding) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+_PLANES = hyperplanes(dim=64, n_planes=4, seed=42)
+_PLANE_LITS = [
+    "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in _PLANES
+]
+
+
+@register(
+    "similarity_lsh_buckets",
+    f"""
+    WITH p AS (SELECT embedding::DOUBLE[] AS v, vec_id FROM embeddings),
+    b AS (
+      SELECT vec_id,
+        {' + '.join(
+            f"(CASE WHEN list_dot_product(v, {_PLANE_LITS[i]}) > 0 THEN {2**i} ELSE 0 END)"
+            for i in range(4)
+        )} AS bucket
+      FROM p
+    )
+    SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        lsh_buckets(emb, "vec_id", "embedding", _PLANES)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+_TOKS_SQL = """list_filter(
+      string_split_regex(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+        '[^a-z0-9'']+'),
+      x -> x <> '')"""
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS alnum_runs,
+        list_filter(string_split_regex(lower(text), '[a-z0-9]+'), x -> trim(x) <> '') AS other_runs
+      FROM documents
+    )
+    SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+           len(alnum_runs) + len(other_runs) AS n_bpe_pieces,
+           round(CASE WHEN len(tk) > 0
+                 THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+                 ELSE 0.0 END, 4) AS avg_token_len
+    FROM t
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from .operators.text import STOPWORDS  # noqa: E402
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+    ), r AS (
+      SELECT doc_id, text,
+        round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+        round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
+        round(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
+              * 1.0 / greatest(len(tk), 1), 4) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
+      round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END) * 0.4
+            + least(stopword_ratio * 4.0, 1.0) * 0.3
+            + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+            + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 4) AS quality
+    FROM r
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LANG_HITS = {
+    lang: f"len(list_filter(tk, x -> list_contains(["
+    + ", ".join(f"'{m}'" for m in markers)
+    + "], x)))"
+    for lang, markers in LANG_MARKERS.items()
+}
+_LANG_CASE = "CASE WHEN best <= 0 THEN 'unknown' " + " ".join(
+    f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+) + " END"
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    h AS (
+      SELECT doc_id,
+        {', '.join(f"{expr} AS h_{lang}" for lang, expr in _LANG_HITS.items())}
+      FROM t
+    ), b AS (
+      SELECT *, greatest({', '.join(f'h_{lang}' for lang in _LANG_HITS)}) AS best FROM h
+    )
+    SELECT doc_id, {_LANG_CASE} AS pred_lang, best AS marker_hits FROM b
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# streaming-analog batch query: tumbling 1h windows over the event stream
+@register(
+    "event_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

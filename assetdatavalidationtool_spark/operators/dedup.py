@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+All stages are built-in Column expressions (JVM-side, codegen) — no
+Python in the hot path. Hash functions are md5-based so every result is
+deterministic and portable across engines (the DuckDB oracles compute
+the identical hashes).
+
+Scale design notes (what changes at 10^12 documents):
+
+* exact dedup     — one hash-aggregate on the fingerprint; map-side
+  partial aggregation shrinks each partition to its distinct set first.
+* n-gram jaccard  — the shingle equi-join explodes on hot shingles
+  (boilerplate, templates). ``max_shingle_df`` drops shingles whose
+  document frequency exceeds a cap BEFORE the join: standard stop-shingle
+  filtering that bounds the join fan-out to df_cap² per shingle.
+* minhash LSH     — replaces the all-pairs join with banding: documents
+  agree on a band key with probability ~ jaccard^rows_per_band, so the
+  join is on band buckets, not shingles. The band groupBy is the only
+  shuffle whose fan-in can skew; buckets above ``max_bucket_size`` are
+  dropped (they're near-certain boilerplate clusters and would emit
+  O(n²) candidate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm_text(c: F.Column) -> F.Column:
+    """lowercase + collapse whitespace — the canonical text form."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint_col(c: F.Column) -> F.Column:
+    return F.md5(_norm_text(c))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content fingerprint →
+    (fingerprint, n_docs, min_doc_id, max_doc_id), n_docs > 1."""
+    return (
+        df.select(
+            fingerprint_col(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (doc_id, shingle).
+
+    Tokenize (split on non-alphanumerics), build n-grams with
+    ``transform`` over an index sequence — a narrow, codegen'd
+    transformation; no shuffle until the caller aggregates.
+    """
+    toks = F.split(_norm_text(F.col(text_col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold →
+    (doc_a, doc_b, intersection, size_a, size_b, jaccard).
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|), computed from ONE
+    shingle-equality join + ONE aggregate.
+    """
+    sh = shingle(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
+def _shingle_hash(seed: int) -> F.Column:
+    """Portable 32-bit-ish hash of a shingle for minhash: the first 8 hex
+    chars of md5("<seed>:<shingle>") read as an integer. DuckDB mirrors
+    this exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: (doc_id, mh_0 … mh_{k-1}).
+    One aggregate over the shingle set — k mins computed in one pass."""
+    sh = shingle(df, id_col, text_col, n)
+    aggs = [F.min(_shingle_hash(s)).alias(f"mh_{s}") for s in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join within bands
+    → distinct (doc_a, doc_b). rows_per_band = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *parts)).alias("bkey"),
+            )
+        )
+    banded = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    # drop boilerplate mega-buckets before the pair join (skew guard)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bkey")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bkey")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash per document over word tokens → (doc_id, simhash).
+
+    Token hash = first 8 hex chars of md5(token) as int; bit b
+    contributes +1 if set else −1, weighted by token count; the sign
+    vector packs into an int. One explode + one aggregate."""
+    toks = F.filter(F.split(_norm_text(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    tdf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn(
+            "th", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tdf.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        packed = bit if packed is None else (packed + bit)
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))

@@ -1,0 +1,169 @@
+"""Multimodal column operators: images/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing is real and tested: schemas, Arrow-batched
+``mapInPandas`` signatures, partitioning/projection discipline (bytes
+never cross a shuffle — derive features in the scan stage, project the
+binary column away immediately after).
+
+Codec reality in this container: our pure PNG codec + deterministic
+stub lossy codec (see ``codecs.py``). Where a real imaging/audio lib
+would be required (true JPEG/WebP, resampling kernels, audio frames),
+the decode step is STUBBED — clearly marked — behind the same batch
+interface, so swapping in Pillow/libjpeg/ffmpeg changes one function,
+not the dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("decoded_w", T.IntegerType(), True),
+        T.StructField("decoded_h", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("contrast", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _image_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from assetdatavalidationtool_spark.codecs import decode_image
+
+    for pdf in batches:
+        out = []
+        for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+            try:
+                img = decode_image(bytes(data), fmt).astype(np.float64)
+                h, w = img.shape[:2]
+                means = img.mean(axis=(0, 1))
+                out.append(
+                    {
+                        "image_id": image_id,
+                        "decoded_w": w,
+                        "decoded_h": h,
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "contrast": float(img.std()),
+                        "decode_ok": True,
+                    }
+                )
+            except Exception:
+                out.append(
+                    {
+                        "image_id": image_id,
+                        "decoded_w": None,
+                        "decoded_h": None,
+                        "mean_r": None,
+                        "mean_g": None,
+                        "mean_b": None,
+                        "contrast": None,
+                        "decode_ok": False,
+                    }
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract per image, Arrow-batched; bytes consumed
+    in the scan stage and never shuffled."""
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _image_feature_batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (real, numpy strided sampling) →
+    (image_id, bytes) re-encoded in the original format. Demonstrates a
+    bytes-in/bytes-out map stage; a production kernel (bilinear/lanczos)
+    plugs into the same batch function."""
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType(
+        [
+            TT.StructField("image_id", TT.StringType(), False),
+            TT.StructField("bytes", TT.BinaryType(), True),
+            TT.StructField("fmt", TT.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from assetdatavalidationtool_spark.codecs import decode_image, encode_image
+
+        for pdf in it:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    img = decode_image(bytes(data), fmt)
+                    h, w = img.shape[:2]
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    resized = img[yi][:, xi]
+                    rows.append(
+                        {"image_id": image_id, "bytes": encode_image(resized, fmt), "fmt": fmt}
+                    )
+                except Exception:
+                    rows.append({"image_id": image_id, "bytes": None, "fmt": fmt})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(batches, schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes") -> DataFrame:
+    """STUB: audio decode requires a codec library not present in this
+    container. The Arrow-batch plumbing (schema, batch signature,
+    scan-stage placement) is real; the decode raises until a backend
+    (soundfile/ffmpeg) is wired in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode backend not available in this container; "
+            "wire soundfile/ffmpeg into audio_features.batches"
+        )
+        yield  # pragma: no cover
+
+    return clips.select(
+        F.col(id_col).alias("clip_id"), F.col(bytes_col).alias("bytes")
+    ).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB: video frame sampling requires ffmpeg. Plumbing only —
+    schema (video_id, frame_idx, frame_bytes), batch interface, and the
+    explode shape a real implementation returns."""
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode backend not available in this container; "
+            "wire ffmpeg into sample_video_frames.batches"
+        )
+        yield  # pragma: no cover
+
+    return videos.select("video_id", "bytes").mapInPandas(batches, schema)

@@ -1,0 +1,126 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. Pure Column expressions throughout (regex +
+string builtins) — whole-stage codegen, no UDFs, SQL-mirrorable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _norm_text, fingerprint_col
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "be", "this", "that", "from",
+]
+
+# tiny marker lexicons for the n-gram language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _tokens(c: F.Column) -> F.Column:
+    return F.filter(F.split(_norm_text(c), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def _count_matches(c: F.Column, pattern: str) -> F.Column:
+    """Occurrences of a regex in a string: length delta on removal."""
+    return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_bpe_pieces, avg_token_len).
+
+    ``n_bpe_pieces`` approximates a BPE tokenizer's piece count with the
+    classic GPT-2 pre-tokenizer regex family: words + digits + punct
+    runs (a cheap, deterministic proxy for budget estimation)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    # pieces = maximal alphanumeric runs + maximal non-space punctuation
+    # runs (regex-engine-portable: no lookarounds, mirrors in RE2/DuckDB)
+    low = F.lower(t)
+    alnum_runs = F.size(F.filter(F.split(low, r"[^a-z0-9]+"), lambda p: p != ""))
+    other_runs = F.size(F.filter(F.split(low, r"[a-z0-9]+"), lambda p: F.trim(p) != ""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (alnum_runs + other_runs).alias("n_bpe_pieces"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, punct_ratio, digit_ratio, stopword_ratio, quality).
+
+    quality ∈ [0,1]: a deterministic blend of length band, stopword
+    presence, and punctuation/digit moderation — the usual cheap
+    pre-filter in corpus pipelines."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    punct_ratio = F.round(_count_matches(t, r"[^\w\s]") / F.greatest(F.length(t), F.lit(1)), 4)
+    digit_ratio = F.round(_count_matches(t, r"[0-9]") / F.greatest(F.length(t), F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+    length_band = F.when((F.length(t) >= 100) & (F.length(t) <= 20000), 1.0).otherwise(0.4)
+    quality = F.round(
+        length_band * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
+        + (1.0 - F.least(digit_ratio * F.lit(5.0), F.lit(1.0))) * 0.1,
+        4,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pred_lang, marker_hits) — marker-word heuristic: count
+    hits per language lexicon, argmax with deterministic ties (lexicon
+    order). A real pipeline swaps in fastText/CLD3; the dataflow shape
+    (narrow scan, no shuffle) is what matters at scale."""
+    toks = _tokens(F.col(text_col))
+    langs = list(LANG_MARKERS)
+    hits = {}
+    for lang in langs:
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    best_hits = F.greatest(*hits.values())
+    # first lexicon in fixed order with the max hit count wins the tie —
+    # an explicit CASE chain, mirrored verbatim in the SQL oracle
+    pred = F.when(best_hits <= 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(hits[lang] == best_hits, F.lit(lang))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best_hits.alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, fingerprint) — md5 of the normalized text; the join key
+    for exact dedup and incremental re-crawl diffing."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+    )

@@ -83,10 +83,17 @@ class RuleSet:
     def __init__(self, rules: list[Rule]):
         self.rules = rules
 
-    def run(self, ctx: RuleContext) -> dict[str, DataFrame]:
+    def run(self, ctx: RuleContext, persist: bool = True) -> dict[str, DataFrame]:
         vio = ctx.empty_violations()
         for r in self.rules:
             vio = vio.unionByName(r.violations(ctx))
+        if persist:
+            # violations feed BOTH the violations sink and the verdict
+            # aggregate; without persistence every downstream action
+            # re-executes all rule plans — including the Arrow decode
+            # UDF over every image. Violation rows are tiny relative to
+            # the input, so this is cheap at any scale.
+            vio = vio.persist()
 
         # rows scanned per bucket (the verdict denominator)
         rows_per_bucket = (

@@ -59,30 +59,52 @@ class SchemaRule(Rule):
                 ctx.spark.createDataFrame(table_level, out.schema)
             )
 
-        # row-level: nullability + domain predicates, one pass over the table
-        df_b = ctx.with_bucket(df)
+        # row-level: nullability + domain predicates — FUSED into a single
+        # scan. Each check becomes a conditional struct in one array;
+        # explode drops the nulls. One branch in the violations union
+        # regardless of column count (vs one scan per check, which at
+        # ~10 checks multiplies AQE stage-scheduling overhead ~10x).
+        checks = []
         for spec in self.columns:
             if spec.name not in actual:
                 continue
-            conds = []
-            if not spec.nullable or spec.domain is not None:
-                if not spec.nullable:
-                    conds.append((F.col(spec.name).isNull(), F.lit("null value")))
-                if spec.domain is not None:
-                    conds.append(
-                        (
-                            F.col(spec.name).isNotNull() & ~spec.domain,
-                            F.lit("domain violation"),
-                        )
-                    )
-            for cond, detail in conds:
-                out = out.unionByName(
-                    df_b.where(cond).select(
-                        F.lit(self.name).alias("rule"),
-                        F.col(ctx.key_col).cast("string").alias("key"),
-                        F.lit(spec.name).alias("column"),
-                        detail.alias("detail"),
-                        F.col("bucket"),
+            if not spec.nullable:
+                checks.append(
+                    F.when(
+                        F.col(spec.name).isNull(),
+                        F.struct(
+                            F.lit(spec.name).alias("column"),
+                            F.lit("null value").alias("detail"),
+                        ),
                     )
                 )
-        return out
+            if spec.domain is not None:
+                checks.append(
+                    F.when(
+                        F.col(spec.name).isNotNull() & ~spec.domain,
+                        F.struct(
+                            F.lit(spec.name).alias("column"),
+                            F.lit("domain violation").alias("detail"),
+                        ),
+                    )
+                )
+        if not checks:
+            return out
+        df_b = ctx.with_bucket(df)
+        fused = (
+            df_b.select(
+                F.col(ctx.key_col).cast("string").alias("key"),
+                F.col("bucket"),
+                F.array_compact(F.array(*checks)).alias("_viol"),
+            )
+            .where(F.size("_viol") > 0)
+            .select(
+                F.lit(self.name).alias("rule"),
+                "key",
+                F.explode("_viol").alias("v"),
+                "bucket",
+            )
+            .select("rule", "key", F.col("v.column").alias("column"),
+                    F.col("v.detail").alias("detail"), "bucket")
+        )
+        return out.unionByName(fused)

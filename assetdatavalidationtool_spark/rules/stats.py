@@ -69,22 +69,40 @@ class StatsRule(Rule):
         out = ctx.empty_violations()
         if not self.bounds:
             return out
-        df_b = ctx.with_bucket(ctx.images)
+        # fused single-scan bound checks (same pattern as SchemaRule)
+        checks = []
         for c, (lo, hi) in self.bounds.items():
             cond = F.lit(False)
             if lo is not None:
                 cond = cond | (F.col(c) < F.lit(lo))
             if hi is not None:
                 cond = cond | (F.col(c) > F.lit(hi))
-            out = out.unionByName(
-                df_b.where(F.col(c).isNotNull() & cond).select(
-                    F.lit(self.name).alias("rule"),
-                    F.col(ctx.key_col).cast("string").alias("key"),
-                    F.lit(c).alias("column"),
-                    F.concat(F.lit("out of bounds: "), F.col(c).cast("string")).alias(
-                        "detail"
+            checks.append(
+                F.when(
+                    F.col(c).isNotNull() & cond,
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.concat(
+                            F.lit("out of bounds: "), F.col(c).cast("string")
+                        ).alias("detail"),
                     ),
-                    F.col("bucket"),
                 )
             )
-        return out
+        df_b = ctx.with_bucket(ctx.images)
+        fused = (
+            df_b.select(
+                F.col(ctx.key_col).cast("string").alias("key"),
+                F.col("bucket"),
+                F.array_compact(F.array(*checks)).alias("_viol"),
+            )
+            .where(F.size("_viol") > 0)
+            .select(
+                F.lit(self.name).alias("rule"),
+                "key",
+                F.explode("_viol").alias("v"),
+                "bucket",
+            )
+            .select("rule", "key", F.col("v.column").alias("column"),
+                    F.col("v.detail").alias("detail"), "bucket")
+        )
+        return out.unionByName(fused)

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffle reads aggressively: violation/verdict
+        # aggregates are tiny relative to the scan; without this the
+        # default parallelismFirst keeps cores×N near-empty reduce tasks
+        # alive and scheduling overhead dominates (observed 448-task
+        # stages counting 24 rows)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,235 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (what the driver runs): one JSON line with
+  - per-query wall times for the contract queries at $SPARK_GRAFT_SF_DIR
+  - the headline: a full rule-set validation pass over a pre-materialized
+    synthetic image+caption table (images validated / sec)
+
+Scaling mode (``python bench.py --scaling``): runs the identical image
+validation job in two fresh subprocesses at local[8] and local[32] on
+the SAME parquet input and reports throughput at both plus
+``efficiency = (T32 / T8) / 4`` — the sandbox proxy for the north
+rule's N → 4N executor criterion (see BASELINE.md). Results are
+appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+
+def materialize_images(spark, n: int) -> tuple[str, str]:
+    """Generate the deterministic image+caption tables once and cache as
+    parquet; the bench then measures validation, not generation."""
+    from assetdatavalidationtool_spark.datagen import generate_captions, generate_images
+
+    img_path = f"{CACHE_DIR}/images_n{n}"
+    cap_path = f"{CACHE_DIR}/captions_n{n}"
+    marker = f"{CACHE_DIR}/.done_n{n}"
+    if not os.path.exists(marker):
+        dups, bad, nulls = n // 1000, n // 500, n // 1000
+        # Row-group discipline for a binary-heavy table: a parquet task
+        # cannot split inside a row group, so ~350MB row groups (what a
+        # naive write produces at ~100KB/row) serialize the whole scan.
+        # Target ~2500 rows (~80MB) per file / row group.
+        parts = max(32, n // 2500)
+        generate_images(
+            spark, n, partitions=parts,
+            dup_ids=dups, bad_pixel_ids=bad, null_dim_ids=nulls,
+        ).write.mode("overwrite").option("parquet.block.size", 33554432).parquet(
+            img_path
+        )
+        generate_captions(
+            spark, n, drop_ids=n // 500, alien_ids=n // 1000, mutate_ids=n // 500
+        ).write.mode("overwrite").parquet(cap_path)
+        open(marker, "w").write("ok")
+    return img_path, cap_path
+
+
+def warm_python_workers(spark) -> None:
+    """Spawn the Arrow Python workers + JIT the scan path once so the
+    measured pass reflects steady-state throughput, not process spawn
+    (on a real cluster executors are long-lived)."""
+    import pandas as pd
+
+    def noop(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    spark.range(0, CPUS * 4, numPartitions=CPUS).mapInPandas(
+        noop, "id long"
+    ).count()
+
+
+def build_ruleset(spark, images):
+    from pyspark.sql import functions as F
+
+    from assetdatavalidationtool_spark.rules import (
+        DriftRule,
+        ReferentialRule,
+        RowInvariantRule,
+        RuleSet,
+        SchemaRule,
+        StatsRule,
+        UniquenessRule,
+    )
+    from assetdatavalidationtool_spark.rules.schema import ColumnSpec
+
+    # fixed reference histogram for fmt (the generator's weights) so the
+    # drift check exercises the full path without a snapshot pre-pass
+    ref_fmt = {"png": 0.5, "jpeg": 0.4, "webp": 0.1}
+    return RuleSet(
+        [
+            SchemaRule(
+                [
+                    ColumnSpec("image_id", "string", nullable=False),
+                    ColumnSpec("bytes", "binary", nullable=False),
+                    ColumnSpec("w", "int", nullable=False, domain=F.col("w") <= 4096),
+                    ColumnSpec("h", "int", nullable=False),
+                    ColumnSpec(
+                        "fmt", "string", nullable=False,
+                        domain=F.col("fmt").isin("png", "jpeg", "webp"),
+                    ),
+                    ColumnSpec("caption", "string", nullable=False),
+                    ColumnSpec("phash", "bigint", nullable=False),
+                ]
+            ),
+            UniquenessRule(["image_id"]),
+            UniquenessRule(["phash"], salted=True),
+            ReferentialRule(),
+            RowInvariantRule(),
+            StatsRule(columns=["w", "h", "fmt", "phash"]),
+            DriftRule(column="fmt", kind="categorical", reference=ref_fmt,
+                      ks_threshold=0.5, psi_threshold=1.0),
+        ]
+    )
+
+
+def run_validation_pass(spark, img_path: str, cap_path: str) -> dict:
+    """The measured job: full rule-set pass → verdicts + violations
+    materialized. Returns counts so the work can't be optimized away."""
+    from assetdatavalidationtool_spark.rules import RuleContext
+
+    images = spark.read.parquet(img_path)
+    captions = spark.read.parquet(cap_path)
+    ctx = RuleContext(
+        spark=spark, images=images, captions=captions,
+        num_buckets=max(CPUS * 4, 64), run_id="bench",
+    )
+    out = build_ruleset(spark, images).run(ctx)
+    t0 = time.time()
+    n_violations = out["violations"].count()  # materializes persisted vio
+    n_verdicts = out["verdicts"].count()      # reuses persisted vio
+    elapsed = time.time() - t0
+    out["violations"].unpersist()
+    return {
+        "elapsed_sec": elapsed,
+        "n_violations": n_violations,
+        "n_verdict_rows": n_verdicts,
+    }
+
+
+def single_run(cores: int, n: int) -> dict:
+    """Entry for scaling subprocesses: full pass at local[cores]."""
+    from assetdatavalidationtool_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench_c{cores}",
+                      driver_memory="48g")
+    img_path, cap_path = materialize_images(spark, n)
+    warm_python_workers(spark)
+    t0 = time.time()
+    stats = run_validation_pass(spark, img_path, cap_path)
+    wall = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "n_images": n, "wall_sec": wall,
+            "images_per_sec": n / wall, **stats}
+
+
+def scaling_mode() -> None:
+    results = []
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-run", str(cores), str(N_IMAGES)],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(f"local[{cores}]: {results[-1]['images_per_sec']:.1f} images/sec",
+              file=sys.stderr)
+    r8, r32 = results
+    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4
+    report = {
+        "n_images": N_IMAGES,
+        "local8_images_per_sec": round(r8["images_per_sec"], 2),
+        "local32_images_per_sec": round(r32["images_per_sec"], 2),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_last.json", "w") as f:
+        json.dump({**report, "runs": results}, f, indent=2)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--single-run":
+        print(json.dumps(single_run(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling_mode()
+        return
+
+    from assetdatavalidationtool_spark.contract import QUERIES
+    from assetdatavalidationtool_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, app_name="bench", driver_memory="48g")
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    # headline: full image validation pass (materialize first, measure after)
+    img_path, cap_path = materialize_images(spark, N_IMAGES)
+    t0 = time.time()
+    stats = run_validation_pass(spark, img_path, cap_path)
+    t_images = time.time() - t0
+    queries["image_validation_full_pass"] = round(t_images, 3)
+    total += t_images
+
+    for name, cq in QUERIES.items():
+        t0 = time.time()
+        df = cq.fn(spark, SF_DIR)
+        df.collect()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "images_validated_per_sec": round(N_IMAGES / t_images, 2),
+                "n_images": N_IMAGES,
+                "image_pass_violations": stats["n_violations"],
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Deterministic tests for the training-data operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.operators import (
+    brute_force_cosine_topk,
+    embedding_norms,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    lsh_buckets,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    shingle,
+    simhash,
+    token_stats,
+)
+from assetdatavalidationtool_spark.operators.similarity import hyperplanes, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case dup of 0
+        (3, "completely different text about spark shuffles and joins"),
+        (4, "el perro que corre por la calle de la ciudad"),
+        (5, "numbers 123 456 789 and punctuation !!! ??? ..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    got = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert (got[0]["min_doc_id"], got[0]["max_doc_id"]) == (0, 2)
+
+
+def test_shingles_counts(docs):
+    sh = shingle(docs.where("doc_id = 0"), "doc_id", "text", n=3).collect()
+    # 9 tokens → 7 trigrams, all distinct
+    assert len(sh) == 7
+    assert all(len(s["shingle"].split(" ")) == 3 for s in sh)
+
+
+def test_ngram_jaccard_ranks_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, max_shingle_df=None
+        ).collect()
+    }
+    assert pairs[(0, 2)] == 1.0          # exact after normalization
+    assert 0.4 <= pairs[(0, 1)] < 1.0    # near-dup
+    assert (0, 3) not in pairs           # unrelated
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = {
+        r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+        for r in minhash_signatures(docs, "doc_id", "text", num_hashes=4).collect()
+    }
+    assert sig[0] == sig[2]
+    assert sig[0] != sig[3]
+
+
+def test_minhash_lsh_candidates_include_near_dups(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=None
+        ).collect()
+    }
+    assert (0, 2) in cands  # identical normalized docs always collide
+    # unrelated docs should not appear (tiny corpus, random collision ~0)
+    assert (3, 4) not in cands
+
+
+def test_simhash_similarity_ordering(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[0] == sh[2]
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[3])
+
+
+def test_token_stats_and_quality(docs):
+    ts = {r["doc_id"]: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert ts[0]["n_tokens"] == 9
+    # 6 alnum runs + 1 maximal punct run ("!!! ??? ..." incl. spaces)
+    assert ts[5]["n_bpe_pieces"] == 7
+    q = {r["doc_id"]: r for r in quality_score(docs, "doc_id", "text").collect()}
+    assert q[5]["digit_ratio"] > 0 and q[5]["punct_ratio"] > 0
+    assert q[0]["quality"] > q[5]["quality"]
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs, "doc_id", "text").collect()}
+    assert got[0] == "en"
+    assert got[4] == "es"
+
+
+def test_fingerprint_normalization(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(8).astype(np.float32)  # near 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(),
+        base,
+    )
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    df, base = vectors
+    got = brute_force_cosine_topk(df, "vec_id", "embedding", [0], k=3).collect()
+    b = base.astype(np.float64)
+    sims = (b @ b[0]) / (np.linalg.norm(b, axis=1) * np.linalg.norm(b[0]))
+    sims[0] = -np.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert [r["neighbor_id"] for r in got] == expect
+    assert got[0]["neighbor_id"] == 1  # the planted near-neighbor
+    np.testing.assert_allclose(
+        [r["cosine"] for r in got], sorted(sims, reverse=True)[:3], atol=1e-4
+    )
+
+
+def test_lsh_ann_finds_planted_neighbor(vectors):
+    df, base = vectors
+    planes = hyperplanes(8, 3, seed=1)
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets(df, "vec_id", "embedding", planes).collect()}
+    assert buckets[0] == buckets[1]  # near-identical vectors share every sign
+    ann = lsh_ann_topk(df, "vec_id", "embedding", planes, k=3).collect()
+    top_for_0 = [r for r in ann if r["query_id"] == 0]
+    assert top_for_0 and top_for_0[0]["neighbor_id"] == 1
+
+
+def test_embedding_norms(vectors):
+    df, base = vectors
+    got = {r["vec_id"]: r for r in embedding_norms(df, "vec_id", "embedding").collect()}
+    assert got[0]["dim"] == 8
+    np.testing.assert_allclose(
+        got[0]["l2_norm"], np.linalg.norm(base[0].astype(np.float64)), atol=1e-3
+    )
