@@ -1,0 +1,232 @@
+"""Checkpoint/manifest-driven resumable validation runs.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The reference's analog is the run-level audit log
+(src/Services/AuditLogger.cs:10-28 — timestamp/user/sources manifest);
+ours is partition-grained and drives *resume*, not just audit.
+
+Layout under ``output_dir`` (plain parquet here; an Iceberg catalog
+swaps in by changing the writer format — the layout and semantics are
+format-agnostic):
+
+    violations/run_id=<run>/rule=<rule>/bucket=<b>/*.parquet
+    verdicts/run_id=<run>/rule=<rule>/bucket=<b>/*.parquet
+    manifest/*.parquet   (append-only: run_id, rule, bucket, status,
+                          rows_scanned, violation_count, wall_sec)
+
+Semantics:
+
+* Logical partition = ``bucket = pmod(xxhash64(key), num_buckets)`` —
+  stable across runs/cluster layouts (rules/base.py).
+* A rule is **bucket-aligned** when its violations for bucket b depend
+  only on rows whose key hashes to b (schema, row-invariant, uniqueness
+  on the bucket key, referential on the bucket key). Aligned rules
+  resume at bucket grain: completed buckets are skipped, incomplete
+  ones recomputed on a bucket-filtered input.
+* Global rules (drift, stats sketches, uniqueness on other keys) are a
+  single unit (bucket -1): rerun whole if not complete.
+* Idempotence: results are written with dynamic partition overwrite
+  keyed by (run_id, rule, bucket) — re-running a completed partition
+  replaces rather than double-counts. The manifest is append-only;
+  the LATEST status row per (run_id, rule, bucket) wins.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .rules.base import Rule, RuleContext, bucket_col
+
+MANIFEST_SCHEMA = (
+    "run_id string, rule string, bucket long, status string, "
+    "rows_scanned long, violation_count long, wall_sec double, seq long"
+)
+
+ALIGNED_RULE_PREFIXES = ("schema", "row_invariant", "referential")
+
+
+def rule_is_bucket_aligned(rule: Rule, ctx: RuleContext) -> bool:
+    name = rule.name
+    if name.startswith(ALIGNED_RULE_PREFIXES):
+        return True
+    if name.startswith("uniqueness("):
+        keys = name[len("uniqueness(") : -1].split(",")
+        return keys == [ctx.key_col]
+    return False
+
+
+class ValidationRun:
+    """Resumable rule-set execution over an images(+captions) table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        rules: list[Rule],
+        num_buckets: int = 64,
+        run_id: str = "run_0",
+        key_col: str = "image_id",
+    ):
+        self.spark = spark
+        self.out = output_dir.rstrip("/")
+        self.rules = rules
+        self.num_buckets = num_buckets
+        self.run_id = run_id
+        self.key_col = key_col
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return f"{self.out}/manifest"
+
+    def read_manifest(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self._manifest_path())
+        except Exception:
+            return None
+
+    def completed(self) -> dict[str, set[int]]:
+        """{rule: {buckets done}} for this run_id (latest status wins)."""
+        m = self.read_manifest()
+        if m is None:
+            return {}
+        w = Window.partitionBy("rule", "bucket").orderBy(F.desc("seq"))
+        latest = (
+            m.where(F.col("run_id") == self.run_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+        )
+        done: dict[str, set[int]] = {}
+        for r in latest.where(F.col("status") == "done").collect():
+            done.setdefault(r["rule"], set()).add(r["bucket"])
+        return done
+
+    def _append_manifest(self, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        df.write.mode("append").parquet(self._manifest_path())
+
+    # -- execution ---------------------------------------------------------
+    def run(self, images: DataFrame, captions: DataFrame | None = None) -> dict:
+        ctx = RuleContext(
+            spark=self.spark,
+            images=images,
+            captions=captions,
+            num_buckets=self.num_buckets,
+            run_id=self.run_id,
+            key_col=self.key_col,
+        )
+        done = self.completed()
+        seq = int(time.time() * 1000)
+        summary = {"rules_run": 0, "rules_skipped": 0, "buckets_skipped": 0}
+
+        for rule in self.rules:
+            aligned = rule_is_bucket_aligned(rule, ctx)
+            done_buckets = done.get(rule.name, set())
+            if aligned:
+                all_buckets = set(range(self.num_buckets))
+                todo = all_buckets - done_buckets
+                summary["buckets_skipped"] += len(done_buckets)
+                if not todo:
+                    summary["rules_skipped"] += 1
+                    continue
+                rule_ctx = self._filtered_ctx(ctx, todo if done_buckets else None)
+            else:
+                if done_buckets:
+                    summary["rules_skipped"] += 1
+                    continue
+                rule_ctx = ctx
+
+            t0 = time.time()
+            vio = rule.violations(rule_ctx).persist()
+            self._write_partitioned(vio, rule.name)
+            verd = self._verdicts(rule_ctx, rule, vio, aligned)
+            self._write_partitioned(verd, rule.name, kind="verdicts")
+            rows = [
+                (
+                    self.run_id,
+                    rule.name,
+                    int(r["bucket"]),
+                    "done",
+                    int(r["rows_scanned"]),
+                    int(r["violation_count"]),
+                    float(time.time() - t0),
+                    seq,
+                )
+                for r in verd.select(
+                    "bucket", "rows_scanned", "violation_count"
+                ).collect()
+            ]
+            if not aligned:
+                # global rules record a single unit even with no verdicts
+                rows = rows or [
+                    (self.run_id, rule.name, -1, "done", 0, 0,
+                     float(time.time() - t0), seq)
+                ]
+            self._append_manifest(rows)
+            vio.unpersist()
+            summary["rules_run"] += 1
+        return summary
+
+    def _filtered_ctx(self, ctx: RuleContext, todo: set[int] | None) -> RuleContext:
+        if todo is None:
+            return ctx
+        blist = sorted(todo)
+        f_img = ctx.images.where(
+            bucket_col(ctx.key_col, self.num_buckets).isin(blist)
+        )
+        f_cap = (
+            ctx.captions.where(bucket_col(ctx.key_col, self.num_buckets).isin(blist))
+            if ctx.captions is not None
+            else None
+        )
+        return RuleContext(
+            spark=ctx.spark, images=f_img, captions=f_cap,
+            num_buckets=ctx.num_buckets, run_id=ctx.run_id, key_col=ctx.key_col,
+        )
+
+    def _verdicts(
+        self, ctx: RuleContext, rule: Rule, vio: DataFrame, aligned: bool
+    ) -> DataFrame:
+        rows_per_bucket = (
+            ctx.with_bucket(ctx.images.select(ctx.key_col))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("rows_scanned"))
+        )
+        vio_counts = vio.groupBy(
+            F.coalesce("bucket", F.lit(-1)).alias("bucket")
+        ).agg(F.count("*").alias("violation_count"))
+        if not aligned:
+            # global rule: the run-level unit is recorded as bucket -1
+            total = ctx.images.count()
+            n_vio = vio.count()
+            return self.spark.createDataFrame(
+                [(-1, total, n_vio)],
+                "bucket long, rows_scanned long, violation_count long",
+            )
+        verd = rows_per_bucket.join(vio_counts, "bucket", "left_outer")
+        return verd.select(
+            "bucket",
+            "rows_scanned",
+            F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+        )
+
+    def _write_partitioned(self, df: DataFrame, rule: str, kind: str = "violations") -> None:
+        path = f"{self.out}/{kind}/run_id={self.run_id}/rule={rule}"
+        out = df.withColumn("bucket", F.coalesce("bucket", F.lit(-1)))
+        if "rule" in out.columns:
+            out = out.drop("rule")
+        out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    # -- readers -----------------------------------------------------------
+    def violations(self) -> DataFrame:
+        return self.spark.read.option("basePath", f"{self.out}/violations").parquet(
+            f"{self.out}/violations/run_id={self.run_id}"
+        )
+
+    def verdicts(self) -> DataFrame:
+        return self.spark.read.option("basePath", f"{self.out}/verdicts").parquet(
+            f"{self.out}/verdicts/run_id={self.run_id}"
+        )

@@ -1,0 +1,111 @@
+"""Resume-equals-fresh-run and idempotence tests for the manifest
+(SURVEY.md §5.2.4: resume-equals-fresh-run on the manifest)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.datagen import generate_captions, generate_images
+from assetdatavalidationtool_spark.manifest import ValidationRun
+from assetdatavalidationtool_spark.rules import (
+    DriftRule,
+    ReferentialRule,
+    RowInvariantRule,
+    UniquenessRule,
+)
+
+N, DUPS, BAD, DROPPED = 120, 2, 3, 4
+
+
+def make_rules():
+    return [
+        UniquenessRule(["image_id"]),
+        ReferentialRule(),
+        RowInvariantRule(),
+        DriftRule(column="fmt", kind="categorical",
+                  reference={"png": 0.5, "jpeg": 0.4, "webp": 0.1},
+                  ks_threshold=0.5, psi_threshold=1.0),
+    ]
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    images = generate_images(spark, N, partitions=4, dup_ids=DUPS, bad_pixel_ids=BAD).cache()
+    captions = generate_captions(spark, N, partitions=4, drop_ids=DROPPED).cache()
+    images.count(), captions.count()
+    return images, captions
+
+
+def _vio_set(run):
+    return {
+        (r["rule"], r["key"], r["detail"])
+        for r in run.violations().select("rule", "key", "detail").collect()
+    }
+
+
+def test_full_run_then_noop_resume(spark, data, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run_full"))
+    images, captions = data
+    run = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="r1")
+    s1 = run.run(images, captions)
+    assert s1["rules_run"] == 4
+    full = _vio_set(run)
+    # distinct (rule,key,detail): DUPS uniqueness + BAD pixel keys
+    # (duplicate re-emits collapse in the set) + DROPPED referential
+    assert len(full) == DUPS + BAD + DROPPED
+
+    # second invocation: everything complete → all rules skipped
+    s2 = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="r1").run(
+        images, captions
+    )
+    assert s2["rules_run"] == 0 and s2["rules_skipped"] == 4
+    assert _vio_set(run) == full  # no double-writes
+
+
+def test_partial_resume_equals_fresh(spark, data, tmp_path_factory):
+    out_full = str(tmp_path_factory.mktemp("run_a"))
+    out_resume = str(tmp_path_factory.mktemp("run_b"))
+    images, captions = data
+
+    full_run = ValidationRun(spark, out_full, make_rules(), num_buckets=8, run_id="rX")
+    full_run.run(images, captions)
+    expected = _vio_set(full_run)
+
+    # simulate a crash: run only the first two rules, then "restart"
+    part = ValidationRun(spark, out_resume, make_rules()[:2], num_buckets=8, run_id="rX")
+    part.run(images, captions)
+    resumed = ValidationRun(spark, out_resume, make_rules(), num_buckets=8, run_id="rX")
+    s = resumed.run(images, captions)
+    assert s["rules_skipped"] == 2  # first two already done
+    assert _vio_set(resumed) == expected
+
+    # verdict totals reconcile with violations
+    v = resumed.verdicts()
+    total = v.agg(F.sum("violation_count")).collect()[0][0]
+    assert total == resumed.violations().count()
+
+
+def test_bucket_grain_resume(spark, data, tmp_path_factory):
+    """Erase some completed buckets from the manifest → only those are
+    recomputed, and results still equal the fresh run."""
+    out = str(tmp_path_factory.mktemp("run_c"))
+    images, captions = data
+    r1 = ValidationRun(spark, out, make_rules()[:1], num_buckets=8, run_id="rY")
+    r1.run(images, captions)
+    before = _vio_set(r1)
+
+    # drop manifest rows for buckets 0-3 of the uniqueness rule (simulates
+    # a run that died before checkpointing those partitions)
+    m = spark.read.parquet(f"{out}/manifest")
+    kept = m.where(~((F.col("rule").startswith("uniqueness")) & (F.col("bucket") < 4)))
+    kept_rows = kept.collect()
+    shutil.rmtree(f"{out}/manifest")
+    spark.createDataFrame(kept_rows, m.schema).write.parquet(f"{out}/manifest")
+
+    r2 = ValidationRun(spark, out, make_rules()[:1], num_buckets=8, run_id="rY")
+    s = r2.run(images, captions)
+    assert s["rules_run"] == 1 and s["buckets_skipped"] == 4
+    assert _vio_set(r2) == before
