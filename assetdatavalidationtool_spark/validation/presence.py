@@ -34,10 +34,16 @@ def source_keys(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def _tagged_union(sources: Sources) -> DataFrame:
-    parts = [
-        source_keys(df, key).withColumn("source", F.lit(name))
-        for name, (df, key) in sources.items()
-    ]
+    """Non-distinct tagged key union: the downstream groupBy dedupes
+    with map-side partial aggregation, so a per-source ``.distinct()``
+    here would only add one extra exchange per source."""
+    parts = []
+    for name, (df, key) in sources.items():
+        parts.append(
+            df.select(norm_key(F.col(key)).alias("key"))
+            .where(F.col("key").isNotNull() & (F.col("key") != ""))
+            .withColumn("source", F.lit(name))
+        )
     return reduce(DataFrame.unionByName, parts)
 
 

@@ -1,0 +1,101 @@
+"""Physical-plan quality gates: the properties that make this engine
+viable at 100 TB must hold structurally, not accidentally. Each test
+asserts a plan shape (.explain("formatted")) rather than a result."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.contract import QUERIES
+from assetdatavalidationtool_spark.datagen import generate_captions, generate_images
+from assetdatavalidationtool_spark.rules import (
+    ReferentialRule,
+    RowInvariantRule,
+    RuleContext,
+    UniquenessRule,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, tmp_path_factory):
+    # write to parquet so scans are real file scans (pushdown visible)
+    d = tmp_path_factory.mktemp("plandata")
+    generate_images(spark, 50, partitions=2).write.parquet(str(d / "img"))
+    generate_captions(spark, 50, partitions=2).write.parquet(str(d / "cap"))
+    return RuleContext(
+        spark=spark,
+        images=spark.read.parquet(str(d / "img")),
+        captions=spark.read.parquet(str(d / "cap")),
+        num_buckets=8,
+    )
+
+
+def test_referential_scans_key_only(ctx):
+    """Bytes must never be read, let alone shuffled, for a key join."""
+    p = plan(ReferentialRule().violations(ctx))
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert "bytes" not in line, line
+            assert "image_id" in line
+
+
+def test_row_invariant_decodes_in_scan_stage(ctx):
+    """The pixel UDF is a narrow transformation: zero exchanges, and
+    the scan reads exactly the four columns the check needs."""
+    p = plan(RowInvariantRule().checks(ctx))
+    assert p.count("Exchange") == 0
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "bytes" in read[0] and "phash" not in read[0]
+
+
+def test_uniqueness_partial_final_aggregation(ctx):
+    """Hash aggregation must split partial (map-side) + final."""
+    p = plan(UniquenessRule(["image_id"]).violations(ctx))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q1_filter_pushdown(spark):
+    p = plan(QUERIES["q1_pricing_summary"].fn(spark, SF))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0]
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read  # column pruning
+
+
+def test_top_customers_broadcasts_dimension(spark):
+    p = plan(QUERIES["top_revenue_customers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_presence_single_shuffle(spark):
+    """Union → pivot-groupBy must be ONE logical shuffle (plus AQE
+    reads) — not per-source distincts."""
+    p = plan(QUERIES["presence_matrix"].fn(spark, SF))
+    # one Exchange for the groupBy; AQEShuffleRead lines excluded
+    n_exchange = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l
+        and "AQEShuffleRead" not in l
+    )
+    assert n_exchange <= 2, p
+
+
+def test_normalize_values_stays_codegen(spark):
+    """Normalization classes are pure Column exprs — no Python eval,
+    no BatchEvalPython in the plan."""
+    p = plan(QUERIES["normalize_values"].fn(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "codegen id" in p  # formatted mode marks codegen stages with *
