@@ -85,11 +85,12 @@ def row_params(i: int) -> dict:
     }
 
 
-def render_image(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic reference rendering for an image_id: a seeded
-    gradient + block-noise pattern. Pure function of (id, w, h)."""
-    i = int(image_id.split("_")[-1])
-    rng = np.random.RandomState((_u64("pix", i)) % (2**31 - 1))
+def _gradient_base(w: int, h: int) -> np.ndarray:
+    """id-independent gradient layer; memoized per (w, h) — only a
+    handful of sizes exist, and this is the render hot path."""
+    cached = _gradient_base._cache.get((w, h))
+    if cached is not None:
+        return cached
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.stack(
         [
@@ -99,9 +100,24 @@ def render_image(image_id: str, w: int, h: int) -> np.ndarray:
         ],
         axis=-1,
     ).astype(np.int32)
+    base.setflags(write=False)
+    _gradient_base._cache[(w, h)] = base
+    return base
+
+
+_gradient_base._cache = {}
+
+
+def render_image(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic reference rendering for an image_id: a seeded
+    gradient + block-noise pattern. Pure function of (id, w, h)."""
+    i = int(image_id.split("_")[-1])
+    rng = np.random.RandomState((_u64("pix", i)) % (2**31 - 1))
+    base = _gradient_base(w, h)
     # 8x8 block noise so lossy quantization has structure to chew on
+    # (repeat == kron-with-ones, bit-identical, ~3.5x faster)
     noise = rng.randint(-32, 33, size=(max(h // 8, 1), max(w // 8, 1), 3))
-    noise = np.kron(noise, np.ones((8, 8, 1), dtype=np.int32))[:h, :w, :]
+    noise = noise.repeat(8, axis=0).repeat(8, axis=1)[:h, :w, :]
     return (base + noise).clip(0, 255).astype(np.uint8)
 
 
