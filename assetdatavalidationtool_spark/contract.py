@@ -873,3 +873,70 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deltas — baseline-vs-other cell mismatches via explicit column mapping
+# (ReportGenerator.cs:208-317). Baseline = customer; other = perturbed
+# projection (same derivation both engines); mapping given explicitly.
+# ---------------------------------------------------------------------------
+from .validation import deltas  # noqa: E402
+
+_DELTAS_SQL = """
+    WITH b AS (
+      SELECT upper(trim(CAST(c_custkey AS VARCHAR))) AS key,
+             c_name AS b_c_name, c_mktsegment AS b_c_mktsegment
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY upper(trim(CAST(c_custkey AS VARCHAR)))
+              ORDER BY c_custkey) rn FROM customer) WHERE rn = 1
+    ), o AS (
+      SELECT upper(trim(CAST(c_custkey AS VARCHAR))) AS key,
+             c_name AS o_cust_label,
+             CASE WHEN c_custkey % 4 = 0 THEN 'OTHER' ELSE c_mktsegment END AS o_segment
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY upper(trim(CAST(c_custkey AS VARCHAR)))
+              ORDER BY c_custkey) rn FROM customer
+            WHERE c_custkey % 7 <> 0) WHERE rn = 1
+    ), j AS (
+      SELECT coalesce(b.key, o.key) AS key,
+             coalesce(b_c_name, '') AS b_c_name,
+             coalesce(b_c_mktsegment, '') AS b_c_mktsegment,
+             coalesce(o_cust_label, '') AS o_cust_label,
+             coalesce(o_segment, '') AS o_segment
+      FROM b FULL OUTER JOIN o ON b.key = o.key
+    ), m AS (
+      SELECT key, 'c_name' AS b_col, 'other' AS source,
+             b_c_name AS base_val, o_cust_label AS other_val FROM j
+      UNION ALL
+      SELECT key, 'c_mktsegment', 'other', b_c_mktsegment, o_segment FROM j
+    )
+    SELECT key, b_col, source, base_val, other_val FROM m
+    WHERE upper(trim(base_val)) <> upper(trim(other_val))
+      AND NOT (trim(base_val) = '' AND trim(other_val) = '')
+"""
+
+
+@register("deltas_cell_mismatches", _DELTAS_SQL)
+def q_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    baseline = c.select(
+        F.col("c_custkey"), "c_name", "c_mktsegment"
+    ).withColumn("_ord", F.col("c_custkey"))
+    other = (
+        c.where(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name").alias("cust_label"),
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("OTHER"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+        .withColumn("_ord", F.col("c_custkey"))
+    )
+    mapping = {"other": {"c_name": "cust_label", "c_mktsegment": "segment"}}
+    out = deltas(
+        baseline, "c_custkey", {"other": (other, "c_custkey")},
+        order_col="_ord", mappings=mapping,
+    )
+    # exclude the key column itself (PK exclusion, Validator.cs:110-117)
+    return out.where(F.col("b_col") != "c_custkey")
