@@ -940,3 +940,37 @@ def q_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exclude the key column itself (PK exclusion, Validator.cs:110-117)
     return out.where(F.col("b_col") != "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer — cell assignment histogram (the inverted-file
+# scale path for ANN; see operators/similarity.py::ivf_topk)
+# ---------------------------------------------------------------------------
+from .operators.similarity import ivf_assign, ivf_centroids  # noqa: E402
+
+_CENTS = ivf_centroids(dim=64, n_cells=4, seed=42)
+_CENT_LITS = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _CENTS]
+_DOTS = [f"list_dot_product(v, {lit})" for lit in _CENT_LITS]
+_IVF_SQL = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT vec_id, {', '.join(f'{d} AS d{i}' for i, d in enumerate(_DOTS))}
+      FROM p
+    ), a AS (
+      SELECT vec_id,
+        CASE {' '.join(f'WHEN d{i} = greatest(d0, d1, d2, d3) THEN {i}' for i in range(4))}
+        END AS cell
+      FROM d
+    )
+    SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell
+"""
+
+
+@register("similarity_ivf_cells", _IVF_SQL)
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign(emb, "vec_id", "embedding", _CENTS)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+    )

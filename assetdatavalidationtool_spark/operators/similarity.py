@@ -154,3 +154,81 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
     )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded Gaussian,
+    L2-normalized). Production swaps in trained k-means centroids; the
+    assignment/search dataflow is identical."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in c] for c in cents]
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(vec_id, cell) — assign each vector to its nearest centroid by
+    cosine (argmax over dot products with unit centroids; norm of the
+    vector is constant across cells so plain dot suffices). Built-in
+    array ops only; a narrow scan-stage transformation."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        _cell_expr(vec_col, centroids).alias("cell"),
+    )
+
+
+def _cell_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    dots = [
+        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    best = F.greatest(*dots)
+    # first cell achieving the max wins ties — explicit, SQL-mirrorable
+    expr = F.when(dots[0] == best, F.lit(0))
+    for i in range(1, len(centroids)):
+        expr = expr.when(dots[i] == best, F.lit(i))
+    return expr.cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN top-k: brute-force cosine only WITHIN each coarse cell →
+    (query_id, neighbor_id, cosine, rank). The 10^12-row scale path:
+    the pair join is cell-local (inverted-file pruning), so cost drops
+    from O(N²) to Σ|cell|². Recall improves with multi-probe (search
+    the P nearest cells) — same dataflow, larger candidate set."""
+    assigned = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        _cell_expr(vec_col, centroids).alias("cell"),
+    )
+    a = assigned.select(
+        F.col("_vid").alias("query_id"), F.col("_vec").alias("q"), "cell"
+    )
+    b = assigned.select(
+        F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("v"), "cell"
+    )
+    sims = (
+        a.join(b, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+                "_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )

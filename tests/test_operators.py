@@ -156,3 +156,22 @@ def test_embedding_norms(vectors):
     np.testing.assert_allclose(
         got[0]["l2_norm"], np.linalg.norm(base[0].astype(np.float64)), atol=1e-3
     )
+
+
+def test_ivf_topk_finds_planted_neighbor(vectors):
+    from assetdatavalidationtool_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    df, base = vectors
+    cents = ivf_centroids(8, 3, seed=2)
+    got = ivf_topk(df, "vec_id", "embedding", cents, k=3).collect()
+    top_for_0 = [r for r in got if r["query_id"] == 0]
+    # near-identical vectors land in the same cell → neighbor found
+    assert top_for_0 and top_for_0[0]["neighbor_id"] == 1
+    # every rank sequence is 1..k without gaps
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in map(sorted, by_q.values()))
