@@ -175,3 +175,42 @@ def test_ivf_topk_finds_planted_neighbor(vectors):
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in map(sorted, by_q.values()))
+
+
+def test_multimodal_image_features_and_resize(spark):
+    from assetdatavalidationtool_spark.datagen import generate_images
+    from assetdatavalidationtool_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+    )
+
+    imgs = generate_images(spark, 12, partitions=2).cache()
+    feats = {r["image_id"]: r for r in image_features(imgs).collect()}
+    assert len(feats) == 12 and all(r["decode_ok"] for r in feats.values())
+    # decoded dims equal declared dims
+    declared = {r["image_id"]: (r["w"], r["h"]) for r in imgs.select("image_id", "w", "h").collect()}
+    for iid, r in feats.items():
+        assert (r["decoded_w"], r["decoded_h"]) == declared[iid]
+        assert 0 <= r["mean_r"] <= 255 and r["contrast"] > 0
+
+    resized = resize_images(imgs.limit(3), 32, 32).collect()
+    from assetdatavalidationtool_spark.codecs import decode_image
+    for r in resized:
+        out = decode_image(bytes(r["bytes"]), r["fmt"])
+        assert out.shape == (32, 32, 3)
+
+    # corrupt bytes → decode_ok False, no crash
+    from pyspark.sql import functions as F
+    bad = imgs.limit(2).withColumn("bytes", F.lit(b"not an image"))
+    got = image_features(bad).collect()
+    assert all(not r["decode_ok"] for r in got)
+
+
+def test_multimodal_stubs_raise_cleanly(spark):
+    from assetdatavalidationtool_spark.operators.multimodal import audio_features
+    import pytest as _pytest
+
+    clips = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
+    with _pytest.raises(Exception) as exc:
+        audio_features(clips).collect()
+    assert "NotImplementedError" in str(exc.value) or "audio decode" in str(exc.value)
