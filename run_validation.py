@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for a resumable validation run.
+
+    zip -r engine.zip assetdatavalidationtool_spark
+    spark-submit --py-files engine.zip run_validation.py \
+        --images s3://bucket/images --captions s3://bucket/captions \
+        --output s3://bucket/validation_out --run-id 2026-08-16 \
+        --num-buckets 4096
+
+Re-running the same command after a failure resumes from the manifest
+(completed buckets are skipped; partial partitions are overwritten
+idempotently). On this sandbox, point --images/--captions at parquet
+dirs produced by ``assetdatavalidationtool_spark.datagen``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+from assetdatavalidationtool_spark.manifest import ValidationRun
+from assetdatavalidationtool_spark.rules import (
+    DriftRule,
+    ReferentialRule,
+    RowInvariantRule,
+    SchemaRule,
+    StatsRule,
+    UniquenessRule,
+)
+from assetdatavalidationtool_spark.rules.schema import ColumnSpec
+from assetdatavalidationtool_spark.session import get_spark
+
+
+def default_rules(fmt_reference: dict[str, float]) -> list:
+    return [
+        SchemaRule(
+            [
+                ColumnSpec("image_id", "string", nullable=False),
+                ColumnSpec("bytes", "binary", nullable=False),
+                ColumnSpec("w", "int", nullable=False,
+                           domain=(F.col("w") > 0) & (F.col("w") <= 4096)),
+                ColumnSpec("h", "int", nullable=False,
+                           domain=(F.col("h") > 0) & (F.col("h") <= 4096)),
+                ColumnSpec("fmt", "string", nullable=False,
+                           domain=F.col("fmt").isin("png", "jpeg", "webp")),
+                ColumnSpec("caption", "string", nullable=False),
+                ColumnSpec("phash", "bigint", nullable=False),
+            ]
+        ),
+        UniquenessRule(["image_id"]),
+        UniquenessRule(["phash"], salted=True),
+        ReferentialRule(),
+        RowInvariantRule(),
+        StatsRule(columns=["w", "h", "fmt", "phash"]),
+        DriftRule(column="fmt", kind="categorical", reference=fmt_reference),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--captions", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run_0")
+    ap.add_argument("--num-buckets", type=int, default=256)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--fmt-reference", default='{"png":0.5,"jpeg":0.4,"webp":0.1}')
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores, app_name=f"validation_{args.run_id}")
+    images = spark.read.parquet(args.images)
+    captions = spark.read.parquet(args.captions) if args.captions else None
+
+    run = ValidationRun(
+        spark, args.output, default_rules(json.loads(args.fmt_reference)),
+        num_buckets=args.num_buckets, run_id=args.run_id,
+    )
+    summary = run.run(images, captions)
+
+    verdicts = run.verdicts()
+    failed = verdicts.where(~(F.col("violation_count") == 0)).count()
+    total_vio = verdicts.agg(F.sum("violation_count")).collect()[0][0]
+    print(json.dumps({
+        "run_id": args.run_id,
+        **summary,
+        "failed_partitions": failed,
+        "total_violations": int(total_vio or 0),
+        "output": args.output,
+    }))
+
+
+if __name__ == "__main__":
+    main()
