@@ -974,3 +974,28 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P6/F10 — filename wildcard predicate (MainForm.cs:522-535): '*'/'?'
+# wildcards -> anchored case-insensitive regex, applied in-plane
+# ---------------------------------------------------------------------------
+from .normalize import wildcard_to_rlike  # noqa: E402
+
+# lowercase pattern vs 'Customer#...' data: exercises the (?i) flag too
+_WC_PATTERN = wildcard_to_rlike("customer#*1?5")
+
+
+@register(
+    "wildcard_predicate",
+    f"""
+    SELECT CAST(c_custkey AS VARCHAR) AS key, c_name
+    FROM customer
+    WHERE regexp_matches(c_name, '{_WC_PATTERN}')
+    """,
+)
+def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_name").rlike(_WC_PATTERN)).select(
+        F.col("c_custkey").cast("string").alias("key"), "c_name"
+    )
