@@ -25,6 +25,7 @@ from .validation import (
     matches_all,
     missing_by_file,
 )
+from .validation.mapping import pick_mappings_from_rows
 from .validation.conflicts import first_row_per_key
 
 
@@ -370,8 +371,8 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT bin,
-           sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS cnt_a,
-           sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS cnt_b
+           CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
     FROM binned GROUP BY bin
     """,
 )
@@ -423,17 +424,126 @@ _FIELD_MAPPING_SQL = """
       UNION ALL SELECT key, 'segment', segment FROM o
     ), pairs AS (
       SELECT b_col, o_col,
-        sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
+        CAST(sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
                   AND upper(trim(coalesce(b_val,''))) = upper(trim(coalesce(o_val,'')))
-                 THEN 1 ELSE 0 END) AS same,
-        sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
-                 THEN 1 ELSE 0 END) AS total
+                 THEN 1 ELSE 0 END) AS BIGINT) AS same,
+        CAST(sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS total
       FROM b_long JOIN o_long USING (key)
       GROUP BY b_col, o_col
     )
     SELECT b_col, o_col, same, total, round(same * 1.0 / total, 4) AS score
     FROM pairs WHERE total > 0 AND same * 1.0 / total >= 0.6
 """
+
+
+# ---------------------------------------------------------------------------
+# Greedy one-to-one FieldMapping (the FieldMapping-sheet variant,
+# ReportGenerator.cs:168-204 — `usedOtherCols` at :177,201): baseline
+# columns in header order each claim their best-scoring UNUSED other
+# column (strict `>`, ties to first other col in header order). The
+# fixture duplicates c_name as c_name_copy so the exclusion actually
+# bites: c_name claims cust_label first, c_name_copy finds it used and
+# maps nothing. Oracle = recursive CTE + lateral best-pick (sequential
+# greedy is inherently iterative); Spark side computes the cols² score
+# table distributed and runs the same greedy on the collected table.
+# ---------------------------------------------------------------------------
+_GREEDY_SQL = """
+    WITH RECURSIVE b AS (
+      SELECT upper(trim(CAST(c_custkey AS VARCHAR))) AS key,
+             c_name, CAST(c_acctbal AS VARCHAR) AS c_acctbal, c_mktsegment,
+             c_name AS c_name_copy
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY upper(trim(CAST(c_custkey AS VARCHAR)))
+              ORDER BY c_custkey) rn FROM customer) WHERE rn = 1
+    ), o AS (
+      SELECT upper(trim(CAST(c_custkey AS VARCHAR))) AS key,
+             c_name AS cust_label,
+             CASE WHEN c_custkey % 3 = 0 THEN '-1.0'
+                  ELSE CAST(c_acctbal AS VARCHAR) END AS balance,
+             CASE WHEN c_custkey % 4 = 0 THEN 'OTHER' ELSE c_mktsegment END AS segment
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY upper(trim(CAST(c_custkey AS VARCHAR)))
+              ORDER BY c_custkey) rn FROM customer) WHERE rn = 1
+    ), b_long AS (
+      SELECT key, 'c_name' AS b_col, c_name AS b_val FROM b
+      UNION ALL SELECT key, 'c_acctbal', c_acctbal FROM b
+      UNION ALL SELECT key, 'c_mktsegment', c_mktsegment FROM b
+      UNION ALL SELECT key, 'c_name_copy', c_name_copy FROM b
+    ), o_long AS (
+      SELECT key, 'cust_label' AS o_col, cust_label AS o_val FROM o
+      UNION ALL SELECT key, 'balance', balance FROM o
+      UNION ALL SELECT key, 'segment', segment FROM o
+    ), pairs AS (
+      SELECT b_col, o_col,
+        CAST(sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
+                  AND upper(trim(coalesce(b_val,''))) = upper(trim(coalesce(o_val,'')))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS same,
+        CAST(sum(CASE WHEN NOT (upper(trim(coalesce(b_val,''))) = '' AND upper(trim(coalesce(o_val,''))) = '')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS total
+      FROM b_long JOIN o_long USING (key)
+      GROUP BY b_col, o_col
+    ), scores AS (
+      SELECT b_col,
+        CASE b_col WHEN 'c_name' THEN 1 WHEN 'c_acctbal' THEN 2
+                   WHEN 'c_mktsegment' THEN 3 WHEN 'c_name_copy' THEN 4 END AS b_rank,
+        o_col,
+        CASE o_col WHEN 'cust_label' THEN 1 WHEN 'balance' THEN 2
+                   WHEN 'segment' THEN 3 END AS o_rank,
+        same * 1.0 / total AS score
+      FROM pairs WHERE total > 0 AND same * 1.0 / total >= 0.6
+    ), greedy AS (
+      SELECT 0 AS step, CAST(NULL AS VARCHAR) AS b_col, CAST(NULL AS VARCHAR) AS o_col,
+             CAST(NULL AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS used
+      UNION ALL
+      SELECT g.step + 1, s.b_col, s.o_col, s.score,
+             CASE WHEN s.o_col IS NULL THEN g.used ELSE list_append(g.used, s.o_col) END
+      FROM greedy g
+      LEFT JOIN LATERAL (
+        SELECT b_col, o_col, score FROM scores
+        WHERE b_rank = g.step + 1 AND NOT list_contains(g.used, o_col)
+        ORDER BY score DESC, o_rank ASC LIMIT 1
+      ) s ON true
+      WHERE g.step < 4
+    )
+    SELECT b_col, o_col, round(score, 4) AS score
+    FROM greedy WHERE o_col IS NOT NULL
+"""
+
+
+@register("field_mapping_greedy", _GREEDY_SQL)
+def q_field_mapping_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    baseline = c.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("string").alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("c_name").alias("c_name_copy"),
+    ).withColumn("_ord", F.col("c_custkey"))
+    other = c.select(
+        "c_custkey",
+        F.col("c_name").alias("cust_label"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("-1.0"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("balance"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    ).withColumn("_ord", F.col("c_custkey"))
+    scores = field_mapping_scores(
+        baseline, "c_custkey", other, "c_custkey", order_col="_ord"
+    )
+    b_order = ["c_name", "c_acctbal", "c_mktsegment", "c_name_copy"]
+    o_order = ["cust_label", "balance", "segment"]
+    # cols² score table is driver-small by construction; the greedy pass
+    # (inherently sequential) runs on the collected rows.
+    rows = {(r["b_col"], r["o_col"]): r["score"] for r in scores.collect()}
+    mapping = pick_mappings_from_rows(rows, b_order, o_order, greedy=True)
+    out = [
+        (b, o, round(rows[(b, o)], 4)) for b, o in mapping.items()
+    ]
+    return spark.createDataFrame(out, "b_col string, o_col string, score double")
 
 
 @register("field_mapping_scores", _FIELD_MAPPING_SQL)
@@ -572,15 +682,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs.unionByName(dup), "doc_id", "text")
 
 
+# Stop-shingle cap mirrored on BOTH sides so the verified/benched plan is
+# the scale-safe one (df > cap shingles dropped before the pair join —
+# bounds join fan-out at cap² per shingle). At the driver's sf0.01 the
+# max shingle df is 7, so the cap is a no-op for values; at sf0.1 it
+# drops the ~60 hottest boilerplate shingles; at 100 TB it is the
+# difference between a bounded join and a quadratic blow-up.
+_JACCARD_SHINGLE_DF_CAP = 20
+
 @register(
     "dedup_ngram_jaccard",
     "WITH "
     + _SH_CTE.format(where="")
-    + """
-    , sizes AS (SELECT doc_id, count(*) AS sz FROM clean GROUP BY doc_id),
+    + f"""
+    , hot AS (SELECT shingle FROM clean GROUP BY shingle
+              HAVING count(*) > {_JACCARD_SHINGLE_DF_CAP}),
+    kept AS (SELECT c.doc_id, c.shingle FROM clean c
+             LEFT JOIN hot h USING (shingle) WHERE h.shingle IS NULL),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
-      FROM clean a JOIN clean b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, intersection, sa.sz AS size_a, sb.sz AS size_b,
@@ -594,7 +716,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.2, max_shingle_df=None,
+        n=3, threshold=0.2, max_shingle_df=_JACCARD_SHINGLE_DF_CAP,
     )
 
 
@@ -632,16 +754,25 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"SELECT doc_id, {b} AS band, md5(mh_{2*b}::VARCHAR || '_' || mh_{2*b+1}::VARCHAR) AS bkey FROM sig"
           for b in range(4)
       )}
+    ), hot AS (
+      SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) > 50
+    ), kept AS (
+      SELECT bd.doc_id, bd.band, bd.bkey FROM banded bd
+      LEFT JOIN hot h ON bd.band = h.band AND bd.bkey = h.bkey
+      WHERE h.band IS NULL
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     """,
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mega-bucket guard ON (and mirrored in the oracle): buckets above 50
+    # docs are near-certain boilerplate clusters that would emit O(n²)
+    # candidate pairs — the 100 TB scale hazard for banded LSH.
     return minhash_lsh_candidates(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, num_hashes=8, bands=4, max_bucket_size=None,
+        n=3, num_hashes=8, bands=4, max_bucket_size=50,
     )
 
 
@@ -973,6 +1104,69 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign(emb, "vec_id", "embedding", _CENTS)
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF ANN top-k (operators/similarity.py::ivf_topk): bounded
+# query block (vec_id < 20), each query probes its 2 nearest cells,
+# candidates only from probed cells; mega-cell guard wired (anti-join in
+# the plan; cap chosen above the test-SF cell sizes so values are
+# quantizer-exact — the pytest plants a hot cell to prove the drop).
+# ---------------------------------------------------------------------------
+from .operators.similarity import ivf_topk  # noqa: E402
+
+_IVF_CELL_CAP = 2000
+_IVF_NPROBE = 2
+_COS = (
+    "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+    "sqrt(list_dot_product(c.v, c.v)))"
+)
+_IVF_TOPK_SQL = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT vec_id, v, {', '.join(f'{dd} AS d{i}' for i, dd in enumerate(_DOTS))}
+      FROM p
+    ), corpus AS (
+      SELECT vec_id, v,
+        CASE {' '.join(f'WHEN d{i} = greatest(d0, d1, d2, d3) THEN {i}' for i in range(4))}
+        END AS cell
+      FROM d
+    ), hot AS (
+      SELECT cell FROM corpus GROUP BY cell HAVING count(*) > {_IVF_CELL_CAP}
+    ), kept AS (
+      SELECT c.vec_id, c.v, c.cell FROM corpus c
+      LEFT JOIN hot h USING (cell) WHERE h.cell IS NULL
+    ), qlong AS (
+      {' UNION ALL '.join(
+          f"SELECT vec_id, v, {i} AS cell, d{i} AS dd FROM d WHERE vec_id < 20"
+          for i in range(4)
+      )}
+    ), qprobe AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dd DESC, cell ASC) AS pr
+        FROM qlong
+      ) WHERE pr <= {_IVF_NPROBE}
+    ), s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+      FROM qprobe q JOIN kept c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_topk", _IVF_TOPK_SQL)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", _CENTS,
+        k=5, n_probe=_IVF_NPROBE, query_ids=list(range(20)),
+        max_cell_size=_IVF_CELL_CAP,
     )
 
 

@@ -94,7 +94,11 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sh = sh.persist()
+    # No persist: the self-join's two sides are identical subplans, so
+    # Spark reuses one shuffle (ReusedExchange) — and caching a multi-TB
+    # shingle explosion would be the real scale hazard. The separate
+    # `sizes` aggregate re-scans the (narrow) shingle plan once more,
+    # which is cheaper than pinning it in executor memory.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = sh.alias("a")

@@ -116,24 +116,53 @@ def lsh_buckets(
     )
 
 
+def _drop_hot_groups(
+    df: DataFrame, group_cols: list[str], cap: int
+) -> DataFrame:
+    """Mega-bucket/mega-cell skew guard: drop rows whose group exceeds
+    ``cap`` members via a broadcast anti-join (same pattern as
+    dedup.minhash_lsh_candidates). A single hot group makes the pair
+    join Σ|group|² — the 100 TB scale-killer — and a group that hot is a
+    degenerate hash/quantizer region, not a useful candidate set."""
+    hot = (
+        df.groupBy(*group_cols)
+        .count()
+        .where(F.col("count") > cap)
+        .select(*group_cols)
+    )
+    return df.join(F.broadcast(hot), group_cols, "left_anti")
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     planes: list[list[float]],
     k: int = 5,
+    max_bucket_size: int | None = 10000,
+    query_ids: list | None = None,
 ) -> DataFrame:
     """ANN top-k within LSH buckets → (query_id, neighbor_id, cosine,
     rank). Recall < 1 by construction; the scale path for 10^12 rows
-    (bucket-local joins instead of a full cross product)."""
+    (bucket-local joins instead of a full cross product).
+
+    ``max_bucket_size`` drops candidate vectors in buckets above the cap
+    before the pair join (broadcast anti-join — a near-duplicate cluster
+    or degenerate hyperplane cell would otherwise emit O(n²) pairs).
+    ``query_ids`` restricts the query side to a bounded block (the
+    corpus side still streams once)."""
     with_b = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vec"),
         _bucket_expr(vec_col, planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        with_b = _drop_hot_groups(with_b, ["bucket"], max_bucket_size)
     a = with_b.select(
         F.col("_vid").alias("query_id"), F.col("_vec").alias("q"), "bucket"
     )
+    if query_ids is not None:
+        a = a.where(F.col("query_id").isin(query_ids))
     b = with_b.select(
         F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("v"), "bucket"
     )
@@ -192,31 +221,72 @@ def _cell_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return expr.cast("int")
 
 
+def _probe_cells_expr(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> F.Column:
+    """array<int> of the ``n_probe`` nearest cells by centroid dot
+    product (desc), ties to the lower cell index — computed NARROW via
+    array_sort on (−dot, cell) structs: no window, no shuffle, stays in
+    the scan stage. For n_probe=1 this selects exactly `_cell_expr`'s
+    argmax cell."""
+    cands = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "nd"
+                ),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    picked = F.slice(F.array_sort(cands), 1, n_probe)
+    return F.transform(picked, lambda s: s["cell"])
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     centroids: list[list[float]],
     k: int = 5,
+    n_probe: int = 1,
+    query_ids: list | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
-    """IVF ANN top-k: brute-force cosine only WITHIN each coarse cell →
-    (query_id, neighbor_id, cosine, rank). The 10^12-row scale path:
+    """IVF ANN top-k: brute-force cosine only WITHIN probed coarse cells
+    → (query_id, neighbor_id, cosine, rank). The 10^12-row scale path:
     the pair join is cell-local (inverted-file pruning), so cost drops
-    from O(N²) to Σ|cell|². Recall improves with multi-probe (search
-    the P nearest cells) — same dataflow, larger candidate set."""
-    assigned = df.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_vec"),
+    from O(N²) to Σ|cell|²  (×n_probe on the query side).
+
+    * ``n_probe`` — each query searches its P nearest cells (multi-probe
+      recovers the recall a single probe loses at cell boundaries; the
+      dataflow is identical, the candidate set P× larger).
+    * ``query_ids`` — bound the query block; the corpus (inverted file)
+      still streams once.
+    * ``max_cell_size`` — drop CANDIDATE vectors in cells above the cap
+      (broadcast anti-join). A mega-cell is a degenerate quantizer
+      region whose pair join is |cell|²; queries assigned there still
+      probe their other n_probe−1 cells."""
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
         _cell_expr(vec_col, centroids).alias("cell"),
     )
-    a = assigned.select(
-        F.col("_vid").alias("query_id"), F.col("_vec").alias("q"), "cell"
+    if max_cell_size is not None:
+        corpus = _drop_hot_groups(corpus, ["cell"], max_cell_size)
+
+    q = df
+    if query_ids is not None:
+        q = q.where(F.col(id_col).isin(query_ids))
+    probes = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q"),
+        F.explode(_probe_cells_expr(vec_col, centroids, n_probe)).alias("cell"),
     )
-    b = assigned.select(
-        F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("v"), "cell"
-    )
+
     sims = (
-        a.join(b, "cell")
+        probes.join(corpus, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -232,3 +302,41 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    dim: int,
+    n_iters: int = 3,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) training of the coarse quantizer,
+    fully distributed: each iteration is one scan (narrow cell
+    assignment via `_cell_expr`) + one hash aggregate whose output is
+    n_cells × dim rows (driver-tiny). Centroids are L2-normalized and
+    rounded to 6 decimals so the result is a portable literal (usable in
+    oracle SQL). Empty cells keep their previous centroid. Deterministic
+    for a given (seed, data)."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    for _ in range(n_iters):
+        means = (
+            df.select(
+                _cell_expr(vec_col, cents).alias("cell"),
+                F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new_cents = [list(c) for c in cents]
+        for cell, comps in by_cell.items():
+            vec = np.array([comps.get(p, 0.0) for p in range(dim)])
+            nrm = float(np.linalg.norm(vec)) or 1.0
+            new_cents[cell] = [round(float(x / nrm), 6) for x in vec]
+        cents = new_cents
+    return cents

@@ -78,11 +78,18 @@ class DriftRule(Rule):
 
     def __post_init__(self):
         self.name = f"drift({self.column})"
+        # memoized per run context: metrics() AND violations() both need
+        # the scores, and without this each triggered a full input scan
+        # (two histogram jobs per rule per run).
+        self._scores_cache: dict[int, tuple[float, float]] = {}
 
     def _scores(self, ctx: RuleContext) -> tuple[float, float]:
-        hist = histogram(ctx.images, self.column, self.kind, self.lo, self.hi, self.bins)
-        cur = {r["bin"]: r["cnt"] for r in hist.collect()}
-        return ks_psi(cur, self.reference)
+        key = id(ctx)
+        if key not in self._scores_cache:
+            hist = histogram(ctx.images, self.column, self.kind, self.lo, self.hi, self.bins)
+            cur = {r["bin"]: r["cnt"] for r in hist.collect()}
+            self._scores_cache[key] = ks_psi(cur, self.reference)
+        return self._scores_cache[key]
 
     def metrics(self, ctx: RuleContext) -> DataFrame:
         ks, psi = self._scores(ctx)

@@ -31,6 +31,29 @@ from .conflicts import first_row_per_key
 from .mapping import field_mapping_scores, pick_mappings
 
 
+def select_baseline(source_names: list[str]) -> str:
+    """Baseline auto-selection (reference README.md:37): the source named
+    'Baseline' (case-insensitive), else the first source in input order."""
+    for name in source_names:
+        if name.strip().lower() == "baseline":
+            return name
+    return source_names[0]
+
+
+def deltas_auto(
+    sources: dict[str, tuple[DataFrame, str]],
+    order_col: str,
+    mappings: dict[str, dict[str, str]] | None = None,
+) -> DataFrame:
+    """`deltas` with the reference's baseline auto-selection: pick the
+    baseline from ``sources`` by name ('Baseline' case-insensitive, else
+    first) and diff every other source against it."""
+    base_name = select_baseline(list(sources))
+    baseline, baseline_key = sources[base_name]
+    others = {k: v for k, v in sources.items() if k != base_name}
+    return deltas(baseline, baseline_key, others, order_col, mappings)
+
+
 def deltas(
     baseline: DataFrame,
     baseline_key: str,

@@ -67,17 +67,17 @@ def field_mapping_scores(
     )
 
 
-def pick_mappings(
-    scores: DataFrame,
+def pick_mappings_from_rows(
+    rows: dict[tuple[str, str], float],
     b_col_order: list[str],
     o_col_order: list[str],
     greedy: bool = False,
 ) -> dict[str, str]:
-    """Argmax per baseline column with reference tie-breaking; optional
-    greedy one-to-one (the FieldMapping-sheet variant). Runs on the
-    collected O(cols²) score table."""
-    rows = {(r["b_col"], r["o_col"]): r["score"] for r in scores.collect()}
-    o_rank = {c: i for i, c in enumerate(o_col_order)}
+    """Greedy/argmax core of `pick_mappings` over an already-collected
+    {(b_col, o_col): score} table — strict `>` with ties to the first
+    other column in header order (ReportGenerator.cs:192-196); with
+    ``greedy`` each other column is claimed at most once
+    (`usedOtherCols`, ReportGenerator.cs:168,177,201)."""
     mapping: dict[str, str] = {}
     used: set[str] = set()
     for b in b_col_order:
@@ -92,6 +92,19 @@ def pick_mappings(
             mapping[b] = best
             used.add(best)
     return mapping
+
+
+def pick_mappings(
+    scores: DataFrame,
+    b_col_order: list[str],
+    o_col_order: list[str],
+    greedy: bool = False,
+) -> dict[str, str]:
+    """Argmax per baseline column with reference tie-breaking; optional
+    greedy one-to-one (the FieldMapping-sheet variant). Runs on the
+    collected O(cols²) score table."""
+    rows = {(r["b_col"], r["o_col"]): r["score"] for r in scores.collect()}
+    return pick_mappings_from_rows(rows, b_col_order, o_col_order, greedy)
 
 
 def column_overlap(
@@ -157,8 +170,9 @@ def column_overlap(
     return (
         pair_counts.join(F.broadcast(sa), ["source_a", "column_a"])
         .join(F.broadcast(sb), ["source_b", "column_b"])
-        .withColumn("ratio", F.round(F.col("overlap") / F.greatest("n_a", "n_b"), 4))
-        .where((F.col("overlap") >= min_overlap) & (F.col("ratio") >= min_ratio))
+        .withColumn("_raw_ratio", F.col("overlap") / F.greatest("n_a", "n_b"))
+        .where((F.col("overlap") >= min_overlap) & (F.col("_raw_ratio") >= min_ratio))
+        .withColumn("ratio", F.round(F.col("_raw_ratio"), 4))
         .select("source_a", "column_a", "source_b", "column_b", "overlap", "ratio")
         .orderBy(F.desc("overlap"), F.desc("ratio"))
     )
