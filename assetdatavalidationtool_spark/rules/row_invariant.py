@@ -68,7 +68,15 @@ def _check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ref = render_image(image_id, expected["w"], expected["h"])
                 got = decode_image(bytes(data), fmt)
                 p = psnr(ref, got)
-                psnrs[j] = p if np.isfinite(p) else 999.0
+                # +inf (exact match) → 999.0 display sentinel;
+                # -inf (shape mismatch) → -1.0 — np.isfinite alone would
+                # conflate the two and record a failure as a perfect score
+                if p == float("inf"):
+                    psnrs[j] = 999.0
+                elif p == float("-inf") or not np.isfinite(p):
+                    psnrs[j] = -1.0
+                else:
+                    psnrs[j] = p
                 pixel_ok[j] = (p == float("inf")) if fmt == "png" else (p >= PSNR_GATE_DB)
                 caption_ok[j] = pdf["caption"].iat[j] == expected["caption"]
             except Exception:
@@ -93,20 +101,39 @@ class RowInvariantRule(Rule):
         return ctx.images.select(*cols).mapInPandas(_check_batches, CHECK_SCHEMA)
 
     def violations(self, ctx: RuleContext) -> DataFrame:
+        # one violation row PER failed check (a row failing both pixel
+        # and caption emits two rows) — explode an array of per-check
+        # structs, same pattern as SchemaRule; nulls (passing checks)
+        # compact away and explode drops empty arrays. ONE UDF pass.
         checks = self.checks(ctx)
-        bad = checks.where(~F.col("pixel_ok") | ~F.col("caption_ok"))
-        return bad.select(
+        fails = F.array_compact(
+            F.array(
+                F.when(
+                    ~F.col("pixel_ok"),
+                    F.struct(
+                        F.lit("bytes").alias("column"),
+                        F.concat(
+                            F.lit("pixel mismatch psnr="),
+                            F.round(F.col("psnr_db"), 2).cast("string"),
+                        ).alias("detail"),
+                    ),
+                ),
+                F.when(
+                    ~F.col("caption_ok"),
+                    F.struct(
+                        F.lit("caption").alias("column"),
+                        F.lit("caption mismatch").alias("detail"),
+                    ),
+                ),
+            )
+        )
+        return checks.select(
+            F.col("image_id"), F.explode(fails).alias("f")
+        ).select(
             F.lit(self.name).alias("rule"),
             F.col("image_id").alias("key"),
-            F.when(~F.col("pixel_ok"), F.lit("bytes")).otherwise(F.lit("caption")).alias(
-                "column"
-            ),
-            F.concat(
-                F.when(~F.col("pixel_ok"), F.lit("pixel mismatch psnr=")).otherwise(
-                    F.lit("caption mismatch psnr=")
-                ),
-                F.round(F.col("psnr_db"), 2).cast("string"),
-            ).alias("detail"),
+            F.col("f.column").alias("column"),
+            F.col("f.detail").alias("detail"),
             F.pmod(F.xxhash64(F.col("image_id")), F.lit(ctx.num_buckets))
             .cast("long")
             .alias("bucket"),

@@ -2,10 +2,13 @@
 
 Shape: ``readStream`` (file source, schema pinned — no inference race)
 → ``foreachBatch`` running the *same* Rule objects as the batch engine
-on each micro-batch → append violations/verdicts parquet. Exactly-once
-comes from Spark's streaming checkpoint (source offsets) plus
-append-only sinks keyed by batch_id; restart resumes from the last
-committed offset without re-emitting.
+on each micro-batch → violations/verdicts parquet partitioned by
+batch_id. foreachBatch itself is at-least-once (a crash between the
+sink write and the checkpoint commit replays the batch on restart);
+end-to-end effectively-once comes from making the batch write
+IDEMPOTENT: each batch dynamically overwrites ONLY its own
+``batch_id=N`` partition, so a replay rewrites the same rows instead
+of appending duplicates.
 
 Only bucket-aligned row-local rules belong here (schema, row-invariant,
 per-batch uniqueness): global rules (drift, cross-table referential)
@@ -55,7 +58,13 @@ def stream_validate(
         if vio is None:
             return
         vio = vio.withColumn("batch_id", F.lit(batch_id)).persist()
-        vio.write.mode("append").parquet(f"{output_dir}/violations")
+        # idempotent replay: overwrite exactly this batch's partition
+        (
+            vio.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/violations")
+        )
         verd = (
             ctx.with_bucket(batch_df.select(ctx.key_col))
             .groupBy("bucket")
@@ -75,7 +84,12 @@ def stream_validate(
                 (F.coalesce("violation_count", F.lit(0)) == 0).alias("pass"),
             )
         )
-        verd.write.mode("append").parquet(f"{output_dir}/verdicts")
+        (
+            verd.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/verdicts")
+        )
         vio.unpersist()
 
     writer = (

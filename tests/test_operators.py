@@ -214,3 +214,121 @@ def test_multimodal_stubs_raise_cleanly(spark):
     with _pytest.raises(Exception) as exc:
         audio_features(clips).collect()
     assert "NotImplementedError" in str(exc.value) or "audio decode" in str(exc.value)
+
+def test_ivf_hot_cell_guard_drops_mega_cell(vectors, spark):
+    """A planted hot cluster (30 identical vectors in one cell) must be
+    excluded from the candidate side when max_cell_size caps it — the
+    Σ|cell|² pair join is the 100 TB scale-killer — while neighbors in
+    healthy cells keep being found."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    df, base = vectors
+    cents = ivf_centroids(8, 3, seed=2)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(df, "vec_id", "embedding", cents).collect()}
+    # donor: a base vector in a different cell from the planted pair (0, 1)
+    donor = next(i for i in range(2, 20) if cells[i] != cells[0])
+    hot_ids = list(range(100, 130))
+    hot_rows = [(i, [float(x) for x in base[donor]]) for i in hot_ids]
+    big = df.unionByName(
+        spark.createDataFrame(hot_rows, "vec_id long, embedding array<float>")
+    )
+
+    uncapped = ivf_topk(big, "vec_id", "embedding", cents, k=3).collect()
+    assert any(r["neighbor_id"] in hot_ids for r in uncapped)
+
+    capped = ivf_topk(big, "vec_id", "embedding", cents, k=3, max_cell_size=10)
+    rows = capped.collect()
+    assert not any(r["neighbor_id"] in hot_ids for r in rows)
+    # the pair 0↔1 lives in a healthy cell and is still found
+    top_for_0 = [r for r in rows if r["query_id"] == 0]
+    assert top_for_0 and top_for_0[0]["neighbor_id"] == 1
+    # the guard is a broadcast anti-join in the plan
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_lsh_ann_hot_bucket_guard(vectors, spark):
+    from assetdatavalidationtool_spark.operators.similarity import lsh_buckets
+
+    df, base = vectors
+    planes = hyperplanes(8, 3, seed=1)
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets(df, "vec_id", "embedding", planes).collect()}
+    donor = next(i for i in range(2, 20) if buckets[i] != buckets[0])
+    hot_ids = list(range(100, 130))
+    hot_rows = [(i, [float(x) for x in base[donor]]) for i in hot_ids]
+    big = df.unionByName(
+        spark.createDataFrame(hot_rows, "vec_id long, embedding array<float>")
+    )
+    uncapped = lsh_ann_topk(big, "vec_id", "embedding", planes, k=3, max_bucket_size=None).collect()
+    assert any(r["neighbor_id"] in hot_ids for r in uncapped)
+    rows = lsh_ann_topk(big, "vec_id", "embedding", planes, k=3, max_bucket_size=10).collect()
+    assert not any(r["neighbor_id"] in hot_ids for r in rows)
+    top_for_0 = [r for r in rows if r["query_id"] == 0]
+    assert top_for_0 and top_for_0[0]["neighbor_id"] == 1
+
+
+def test_ivf_multi_probe_recovers_boundary_neighbor(spark):
+    """A neighbor just across a cell boundary is invisible at n_probe=1
+    and found at n_probe=2 — the recall lever multi-probe exists for."""
+    from assetdatavalidationtool_spark.operators.similarity import ivf_topk
+
+    dim = 8
+    cents = [[0.0] * dim for _ in range(4)]
+    for i in range(4):
+        cents[i][i] = 1.0  # orthogonal unit centroids
+    q = [0.0] * dim
+    q[0], q[1] = 0.8, 0.6       # cell 0; second-nearest cell 1
+    n = [0.0] * dim
+    n[0], n[1] = 0.6, 0.8       # cell 1; cosine(q, n) = 0.96
+    fill0 = [0.0] * dim
+    fill0[0] = 1.0              # cell 0; cosine(q, fill0) = 0.8
+    fill2 = [0.0] * dim
+    fill2[2] = 1.0
+    rows = [(0, q), (1, n), (2, fill0), (3, fill2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    single = ivf_topk(df, "vec_id", "embedding", cents, k=3, n_probe=1, query_ids=[0]).collect()
+    assert [r["neighbor_id"] for r in single] == [2]  # boundary neighbor missed
+
+    multi = ivf_topk(df, "vec_id", "embedding", cents, k=3, n_probe=2, query_ids=[0]).collect()
+    assert [r["neighbor_id"] for r in multi][0] == 1  # found and ranked first
+    assert abs(multi[0]["cosine"] - 0.96) < 1e-3
+
+
+def test_train_ivf_centroids_recovers_clusters(spark):
+    """Spherical k-means on two well-separated clusters converges to the
+    cluster directions, deterministically, and improves assignment purity
+    over the seeded-random initialization."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    c_a = np.array([1.0, 0, 0, 0, 0, 0, 0, 0])
+    c_b = np.array([0, 1.0, 0, 0, 0, 0, 0, 0])
+    rows = []
+    for i in range(40):
+        center = c_a if i % 2 == 0 else c_b
+        v = center + 0.05 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    trained = train_ivf_centroids(df, "embedding", n_cells=2, dim=dim, n_iters=4, seed=5)
+    again = train_ivf_centroids(df, "embedding", n_cells=2, dim=dim, n_iters=4, seed=5)
+    assert trained == again  # deterministic
+
+    t = np.array(trained)
+    # each cluster direction is captured by some trained centroid
+    assert max(abs(t @ c_a)) > 0.95
+    assert max(abs(t @ c_b)) > 0.95
+    # assignment separates the clusters perfectly
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(df, "vec_id", "embedding", trained).collect()}
+    a_cells = {cells[i] for i in range(0, 40, 2)}
+    b_cells = {cells[i] for i in range(1, 40, 2)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells

@@ -145,3 +145,36 @@ def test_ruleset_verdicts(ctx):
         verdicts.groupBy("rule").agg(F.sum("rows_scanned").alias("s")).collect()
     )
     assert all(r["s"] == N + DUPS for r in per_rule_rows)
+
+
+def test_row_invariant_one_violation_per_failed_check(spark):
+    """A row failing BOTH pixel and caption checks emits TWO violation
+    rows (bytes + caption), and a decoded-shape mismatch records the
+    -1.0 psnr sentinel (NOT the 999.0 exact-match sentinel)."""
+    import numpy as np
+
+    from assetdatavalidationtool_spark.codecs import encode_image
+    from assetdatavalidationtool_spark.datagen import IMAGES_SCHEMA, make_row, row_params
+
+    good = make_row(1)
+    both_bad = make_row(2, corrupt_pixels=True)
+    both_bad["caption"] = "WRONG caption"
+    shape_bad = row_params(3)
+    shape_bad["bytes"] = encode_image(
+        np.zeros((8, 8, 3), dtype=np.uint8), shape_bad["fmt"]
+    )
+    images = spark.createDataFrame([good, both_bad, shape_bad], IMAGES_SCHEMA)
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+
+    rule = RowInvariantRule()
+    vio = rule.violations(ctx).collect()
+    by_key = {}
+    for r in vio:
+        by_key.setdefault(r["key"], set()).add(r["column"])
+    assert by_key[both_bad["image_id"]] == {"bytes", "caption"}
+    assert by_key[shape_bad["image_id"]] == {"bytes"}
+    assert good["image_id"] not in by_key
+
+    checks = {r["image_id"]: r for r in rule.checks(ctx).collect()}
+    assert checks[shape_bad["image_id"]]["psnr_db"] == -1.0
+    assert checks[good["image_id"]]["psnr_db"] in (999.0,) or checks[good["image_id"]]["psnr_db"] >= 40.0

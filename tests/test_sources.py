@@ -89,3 +89,104 @@ def test_connector_scaffolds(spark):
     assert rows["h1"]["ip"] == "" and rows["h2"]["os"] == ""
     with pytest.raises(NotImplementedError):
         LdapConnector("ldap://x", "dc=corp").fetch_rows()
+
+
+def _make_xlsx(path, header_cells, data_rows, shared=None):
+    """Minimal hand-built xlsx: enough of the OOXML zip for the reader.
+    header_cells / data_rows: list of (cell_ref_or_None, t, text)."""
+    import zipfile
+
+    shared = shared or []
+
+    def cell_xml(ref, t, text):
+        r = f' r="{ref}"' if ref else ""
+        if t == "s":
+            return f'<c{r} t="s"><v>{text}</v></c>'
+        if t == "inlineStr":
+            return f'<c{r} t="inlineStr"><is><t>{text}</t></is></c>'
+        return f"<c{r}><v>{text}</v></c>"
+
+    def row_xml(i, cells):
+        return f'<row r="{i}">' + "".join(cell_xml(*c) for c in cells) + "</row>"
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet_rows = [row_xml(1, header_cells)] + [
+        row_xml(i + 2, r) for i, r in enumerate(data_rows)
+    ]
+    sheet = f"<worksheet {ns}><sheetData>{''.join(sheet_rows)}</sheetData></worksheet>"
+    wb = (
+        f"<workbook {ns} {rns}><sheets>"
+        '<sheet name="First" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Second" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr(
+            "xl/worksheets/sheet2.xml",
+            f"<worksheet {ns}><sheetData>{row_xml(1, [(None, 'inlineStr', 'WRONG')])}</sheetData></worksheet>",
+        )
+        if shared:
+            zf.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_reader_reference_parity(spark, tmp_path):
+    """Pins ExcelReader.cs quirks: first sheet only, shared strings,
+    sparse data rows honoring cell refs, header row compacting LEFT
+    (refs ignored for headers), trailing blank headers trimmed, missing
+    cells back-filled ''."""
+    from assetdatavalidationtool_spark.sources.xlsx import (
+        read_first_sheet,
+        read_headers,
+        read_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    _make_xlsx(
+        p,
+        # header: shared string, inline, a SPARSE ref (D1) — appended in
+        # element order (quirk) — then a trailing blank (trimmed)
+        [("A1", "s", 0), ("B1", "inlineStr", " name "), ("D1", "s", 1), ("E1", "inlineStr", " ")],
+        [
+            # full row
+            [("A2", "s", 2), ("B2", "inlineStr", "alpha"), ("C2", "n", 42)],
+            # sparse row: C skipped entirely -> backfilled ''
+            [("A3", "n", 7), ("C3", "inlineStr", "gamma")],
+            # no refs at all -> running index
+            [(None, "inlineStr", "x"), (None, "inlineStr", "y")],
+        ],
+        shared=["id", "grade", "k9"],
+    )
+    assert read_headers(p) == ["id", "name", "grade"]
+    headers, rows = read_first_sheet(p)
+    assert headers == ["id", "name", "grade"]
+    assert rows[0] == {"id": "k9", "name": "alpha", "grade": "42"}
+    assert rows[1] == {"id": "7", "name": "", "grade": "gamma"}
+    assert rows[2] == {"id": "x", "name": "y", "grade": ""}
+
+    df = read_xlsx(spark, p)
+    assert df.columns == ["id", "name", "grade"]
+    assert df.count() == 3
+    got = {r["id"]: r for r in df.collect()}
+    assert got["7"]["grade"] == "gamma" and got["7"]["name"] == ""
+
+    # unreadable file -> empty results, no raise (ExcelReader catch-all)
+    bad = str(tmp_path / "bad.xlsx")
+    open(bad, "wb").write(b"not a zip")
+    assert read_headers(bad) == []
+    assert read_first_sheet(bad) == ([], [])
+    assert read_xlsx(spark, bad).count() == 0

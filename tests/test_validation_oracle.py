@@ -205,3 +205,47 @@ def test_column_overlap_suggests_renamed_pair(spark):
     assert ("Addr", "IP") in pairs
     assert pairs[("Addr", "IP")]["overlap"] == 20
     assert pairs[("Addr", "IP")]["ratio"] == 1.0
+
+
+def test_select_baseline_and_deltas_auto(spark):
+    from assetdatavalidationtool_spark.validation.deltas import (
+        deltas,
+        deltas_auto,
+        select_baseline,
+    )
+
+    # named 'Baseline' wins case-insensitively; else first source
+    assert select_baseline(["inv", "BASELINE ", "cmdb"]) == "BASELINE "
+    assert select_baseline(["inv", "cmdb"]) == "inv"
+
+    a = spark.createDataFrame(
+        [("1", "x", 1), ("2", "y", 2)], "k string, v string, _ord int"
+    )
+    b = spark.createDataFrame(
+        [("1", "x", 1), ("2", "z", 2)], "k string, v string, _ord int"
+    )
+    mappings = {"other": {"k": "k", "v": "v"}}
+    explicit = deltas(a, "k", {"other": (b, "k")}, "_ord", mappings).collect()
+    auto = deltas_auto(
+        {"Baseline": (a, "k"), "other": (b, "k")}, "_ord", mappings
+    ).collect()
+    assert sorted(map(tuple, explicit)) == sorted(map(tuple, auto))
+    # without a 'Baseline' name the FIRST source is the baseline: diffing
+    # b against baseline a must flag key 2 (y vs z)
+    keys = {r["key"] for r in auto if r["b_col"] == "v"}
+    assert keys == {"2"}
+
+
+def test_pick_mappings_greedy_exclusion():
+    from assetdatavalidationtool_spark.validation.mapping import pick_mappings_from_rows
+
+    rows = {
+        ("b1", "o1"): 0.9,
+        ("b2", "o1"): 0.8,   # loses o1 to b1 under greedy
+        ("b2", "o2"): 0.7,
+        ("b3", "o2"): 0.95,  # o2 already used -> b3 unmapped
+    }
+    non_greedy = pick_mappings_from_rows(rows, ["b1", "b2", "b3"], ["o1", "o2"])
+    assert non_greedy == {"b1": "o1", "b2": "o1", "b3": "o2"}
+    greedy = pick_mappings_from_rows(rows, ["b1", "b2", "b3"], ["o1", "o2"], greedy=True)
+    assert greedy == {"b1": "o1", "b2": "o2"}
