@@ -1171,6 +1171,79 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate dedup (multi-table LSH → exact cosine
+# refine, operators/similarity.py::embedding_near_duplicates). The
+# testdata embeddings have no natural near-dups (max pair cosine ≈0.51),
+# so the query plants them in-plane: each vec_id < 30 gains a copy at
+# id+100000 perturbed by x → x*1.0001 + 0.001 (deterministic double math,
+# identical in both engines; cosine ≈ 0.9999 ≥ 0.9 while every natural
+# pair stays ≤ 0.52 — like dedup_exact's planted union).
+# ---------------------------------------------------------------------------
+from .operators.similarity import embedding_near_duplicates  # noqa: E402
+
+_ND_TABLES = [hyperplanes(dim=64, n_planes=4, seed=s) for s in (42, 43)]
+_ND_PLANE_LITS = [
+    ["[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes]
+    for planes in _ND_TABLES
+]
+_ND_BUCKET = [
+    " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits[i]}) > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(4)
+    )
+    for lits in _ND_PLANE_LITS
+]
+_ND_COS = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "sqrt(list_dot_product(b.v, b.v)))"
+)
+_NEARDUP_SQL = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (
+      SELECT vec_id, v FROM p
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x * 1.0001 + 0.001)
+      FROM p WHERE vec_id < 30
+    ), banded AS (
+      SELECT vec_id, 0 AS tbl, {_ND_BUCKET[0]} AS bucket FROM aug
+      UNION ALL
+      SELECT vec_id, 1 AS tbl, {_ND_BUCKET[1]} AS bucket FROM aug
+    ), hot AS (
+      SELECT tbl, bucket FROM banded GROUP BY tbl, bucket HAVING count(*) > 200
+    ), kept AS (
+      SELECT bd.vec_id, bd.tbl, bd.bucket FROM banded bd
+      LEFT JOIN hot h ON bd.tbl = h.tbl AND bd.bucket = h.bucket
+      WHERE h.tbl IS NULL
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), refined AS (
+      SELECT c.id_a, c.id_b, {_ND_COS} AS cos
+      FROM cand c
+      JOIN aug a ON a.vec_id = c.id_a
+      JOIN aug b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cosine FROM refined WHERE cos >= 0.9
+"""
+
+
+@register("dedup_embedding_neardup", _NEARDUP_SQL)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001 + 0.001).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(planted), "vec_id", "embedding",
+        plane_tables=_ND_TABLES, threshold=0.9, max_bucket_size=200,
+    )
+
+
+# ---------------------------------------------------------------------------
 # P6/F10 — filename wildcard predicate (MainForm.cs:522-535): '*'/'?'
 # wildcards -> anchored case-insensitive regex, applied in-plane
 # ---------------------------------------------------------------------------

@@ -304,6 +304,63 @@ def ivf_topk(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    plane_tables: list[list[list[float]]],
+    threshold: float = 0.9,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine),
+    cosine >= threshold — the embedding analog of minhash-LSH dedup.
+
+    Multi-table LSH (L independent hyperplane tables) fixes single-table
+    recall: near-identical vectors only need to share a bucket in ONE
+    table. Dataflow: bucket per (table, vector) → hot-bucket anti-join
+    guard → bucket-local candidate pairs → DISTINCT pairs (so each pair's
+    cosine is computed once, not once per agreeing table) → join the
+    vectors back by id and refine with the exact cosine. At 10^12 rows
+    the pair set after banding is tiny relative to the corpus, so the
+    two id-joins beat carrying L copies of every vector through the
+    bucket shuffle."""
+    ids = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    banded = None
+    for t, planes in enumerate(plane_tables):
+        part = ids.select(
+            F.col("_vid"),
+            F.lit(t).alias("tbl"),
+            _bucket_expr("_vec", planes).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    if max_bucket_size is not None:
+        banded = _drop_hot_groups(banded, ["tbl", "bucket"], max_bucket_size)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("a._vid") < F.col("b._vid"))
+        .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
+        .distinct()
+    )
+    va = ids.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("va"))
+    vb = ids.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "_cos",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        # filter on the UNROUNDED value, round only for display — the
+        # oracle mirrors this exactly (no threshold-boundary divergence)
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str,

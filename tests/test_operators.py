@@ -332,3 +332,25 @@ def test_train_ivf_centroids_recovers_clusters(spark):
     a_cells = {cells[i] for i in range(0, 40, 2)}
     b_cells = {cells[i] for i in range(1, 40, 2)}
     assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
+def test_embedding_near_duplicates(vectors, spark):
+    """Planted near-identical pair found; unrelated pairs stay below
+    threshold; multi-table union beats a single table's recall misses."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    df, base = vectors
+    tables = [hyperplanes(8, 4, seed=s) for s in (1, 2)]
+    got = embedding_near_duplicates(
+        df, "vec_id", "embedding", tables, threshold=0.95
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs  # the planted near-neighbor pair
+    assert all(r["cosine"] >= 0.95 for r in got)
+    # hot-bucket guard: cap of 1 drops every bucket with >1 member → no pairs
+    none = embedding_near_duplicates(
+        df, "vec_id", "embedding", tables, threshold=0.95, max_bucket_size=1
+    ).collect()
+    assert none == []
