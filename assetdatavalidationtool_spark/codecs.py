@@ -162,7 +162,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     ``-inf`` for shape mismatch (counts as a hard pixel violation)."""
     if a.shape != b.shape:
         return float("-inf")
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if a.dtype == np.uint8 and b.dtype == np.uint8:
+        # integer diff path — bit-identical to the float64 formulation
+        # (every squared diff <= 255² is exact in int32; the float64-
+        # accumulated sum stays < 2^53 so the mean is exact regardless
+        # of summation order) at ~2.5x the speed / half the temporaries
+        d = a.astype(np.int16) - b.astype(np.int16)
+        d32 = d.astype(np.int32)
+        mse = np.mean(d32 * d32, dtype=np.float64)
+    else:
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0.0:
         return float("inf")
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))

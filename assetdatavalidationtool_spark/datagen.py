@@ -92,6 +92,8 @@ def _gradient_base(w: int, h: int) -> np.ndarray:
     if cached is not None:
         return cached
     yy, xx = np.mgrid[0:h, 0:w]
+    # int16: values are 0..255 and the render arithmetic stays in
+    # int16 (half the memory traffic of int32 — this is the UDF hot path)
     base = np.stack(
         [
             (xx * 255 // max(w - 1, 1)),
@@ -99,7 +101,7 @@ def _gradient_base(w: int, h: int) -> np.ndarray:
             ((xx + yy) * 255 // max(w + h - 2, 1)),
         ],
         axis=-1,
-    ).astype(np.int32)
+    ).astype(np.int16)
     base.setflags(write=False)
     _gradient_base._cache[(w, h)] = base
     return base
@@ -115,10 +117,15 @@ def render_image(image_id: str, w: int, h: int) -> np.ndarray:
     rng = np.random.RandomState((_u64("pix", i)) % (2**31 - 1))
     base = _gradient_base(w, h)
     # 8x8 block noise so lossy quantization has structure to chew on
-    # (repeat == kron-with-ones, bit-identical, ~3.5x faster)
+    # (repeat == kron-with-ones, bit-identical, ~3.5x faster). The rng
+    # call keeps the default int dtype so the random SEQUENCE is frozen;
+    # the cheap block-resolution astype(int16) halves the bandwidth of
+    # the full-resolution repeat/add/clip that dominates render cost.
     noise = rng.randint(-32, 33, size=(max(h // 8, 1), max(w // 8, 1), 3))
-    noise = noise.repeat(8, axis=0).repeat(8, axis=1)[:h, :w, :]
-    return (base + noise).clip(0, 255).astype(np.uint8)
+    noise = noise.astype(np.int16).repeat(8, axis=0).repeat(8, axis=1)[:h, :w, :]
+    out = base + noise
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 def make_row(i: int, corrupt_pixels: bool = False) -> dict:

@@ -31,6 +31,32 @@ def _norm_text(c: F.Column) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def _tokenize(c: F.Column) -> F.Column:
+    """lowercase + split on non-alphanumerics, empties dropped. NOTE: no
+    whitespace-collapse pass — the ``[^a-z0-9]+`` split subsumes it
+    (tokens are provably identical), and the extra regexp_replace over
+    every document was the single hottest expression in the shingle
+    plan (~40% of shingle build time at sf0.1)."""
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """CPU-parallelism guard for expression-heavy per-row operators:
+    a small input often arrives as ONE scan partition (single parquet
+    row group), serializing tokenize/n-gram work onto one core. If the
+    scan has fewer partitions than the cluster's default parallelism,
+    repartition up (the input is small by construction, so the shuffle
+    is pennies); at real scale inputs already have >= cores partitions
+    and this is a no-op — no shuffle is ever added to a big table."""
+    if df.isStreaming:
+        return df  # micro-batch partitioning is the stream's concern
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def fingerprint_col(c: F.Column) -> F.Column:
     return F.md5(_norm_text(c))
 
@@ -60,8 +86,8 @@ def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     ``transform`` over an index sequence — a narrow, codegen'd
     transformation; no shuffle until the caller aggregates.
     """
-    toks = F.split(_norm_text(F.col(text_col)), r"[^a-z0-9]+")
-    toks = F.filter(toks, lambda t: t != "")
+    df = spread_small_scan(df)
+    toks = _tokenize(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -202,9 +228,10 @@ def simhash(
     Token hash = first 8 hex chars of md5(token) as int; bit b
     contributes +1 if set else −1, weighted by token count; the sign
     vector packs into an int. One explode + one aggregate."""
-    toks = F.filter(F.split(_norm_text(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    toks = _tokenize(F.col(text_col))
     tdf = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("w"))
         .withColumn(

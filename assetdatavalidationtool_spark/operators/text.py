@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _norm_text, fingerprint_col
+from .dedup import fingerprint_col, spread_small_scan
 
 STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
@@ -25,7 +25,9 @@ LANG_MARKERS = {
 
 
 def _tokens(c: F.Column) -> F.Column:
-    return F.filter(F.split(_norm_text(c), r"[^a-z0-9']+"), lambda t: t != "")
+    # no whitespace-collapse pass: the split subsumes it (identical
+    # tokens, ~40% less expression time — see dedup._tokenize)
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
 
 
 def _count_matches(c: F.Column, pattern: str) -> F.Column:
@@ -39,6 +41,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``n_bpe_pieces`` approximates a BPE tokenizer's piece count with the
     classic GPT-2 pre-tokenizer regex family: words + digits + punct
     runs (a cheap, deterministic proxy for budget estimation)."""
+    df = spread_small_scan(df)
     t = F.col(text_col)
     toks = _tokens(t)
     # pieces = maximal alphanumeric runs + maximal non-space punctuation
@@ -68,6 +71,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality ∈ [0,1]: a deterministic blend of length band, stopword
     presence, and punctuation/digit moderation — the usual cheap
     pre-filter in corpus pipelines."""
+    df = spread_small_scan(df)
     t = F.col(text_col)
     toks = _tokens(t)
     n_tok = F.size(toks)
@@ -98,6 +102,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hits per language lexicon, argmax with deterministic ties (lexicon
     order). A real pipeline swaps in fastText/CLD3; the dataflow shape
     (narrow scan, no shuffle) is what matters at scale."""
+    df = spread_small_scan(df)
     toks = _tokens(F.col(text_col))
     langs = list(LANG_MARKERS)
     hits = {}
@@ -120,7 +125,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, fingerprint) — md5 of the normalized text; the join key
     for exact dedup and incremental re-crawl diffing."""
-    return df.select(
+    return spread_small_scan(df).select(
         F.col(id_col).alias("doc_id"),
         fingerprint_col(F.col(text_col)).alias("fingerprint"),
     )
