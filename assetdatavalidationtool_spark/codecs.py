@@ -175,3 +175,55 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM16) — a REAL audio codec in pure stdlib: the one audio
+# container that needs no external library. mp3/flac/ogg stay stubbed in
+# operators/multimodal.py; this gives the audio pipeline an executable
+# end-to-end path (encode → Arrow batch decode → features) in this
+# container.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """PCM16 WAV bytes from an int16 array shaped (n,) mono or
+    (n, channels)."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved little-endian
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16 (n, channels), sample_rate) from PCM16 RIFF/WAVE.
+    Walks chunks properly (fmt may not directly precede data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate, channels, bits = None, None, None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pcm is None or sample_rate is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return samples.reshape(-1, channels).copy(), int(sample_rate)

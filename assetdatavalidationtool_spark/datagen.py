@@ -211,3 +211,35 @@ def generate_captions(
     return spark.range(0, n + alien_ids, numPartitions=parts).mapInPandas(
         gen, CAPTIONS_SCHEMA
     )
+
+
+def render_audio(clip_id: str, n_samples: int = 16000, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic synthetic mono clip for a clip_id: a seeded sine
+    mixture + noise floor, int16. Pure function of (id, n, sr) — the
+    audio analog of render_image."""
+    i = int(clip_id.split("_")[-1])
+    rng = np.random.RandomState(_u64("aud", i) % (2**31 - 1))
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    f0 = 110.0 * (1 + (i % 16))
+    wave = (
+        0.6 * np.sin(2 * np.pi * f0 * t)
+        + 0.25 * np.sin(2 * np.pi * 2.5 * f0 * t)
+        + 0.05 * rng.randn(n_samples)
+    )
+    return np.clip(wave * 12000.0, -32768, 32767).astype(np.int16)
+
+
+def make_audio_row(i: int, n_samples: int = 16000, sample_rate: int = 16000,
+                   corrupt: bool = False) -> dict:
+    from .codecs import encode_wav
+
+    clip_id = f"clip_{i:09d}"
+    samples = render_audio(clip_id, n_samples, sample_rate)
+    if corrupt:
+        samples = (samples.astype(np.int32) * 4).clip(-32768, 32767).astype(np.int16)
+    return {
+        "clip_id": clip_id,
+        "bytes": encode_wav(samples, sample_rate),
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+    }

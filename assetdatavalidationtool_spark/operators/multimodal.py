@@ -123,28 +123,68 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
         T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+        T.StructField("clip_frac", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
 
 
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from assetdatavalidationtool_spark.codecs import decode_wav
+
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+            try:
+                samples, sr = decode_wav(bytes(data))
+                mono = samples.mean(axis=1) if samples.shape[1] > 1 else samples[:, 0].astype(np.float64)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))) if n else 0.0
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                clip_frac = float(np.mean(np.abs(samples) >= 32767)) if n else 0.0
+                out.append(
+                    {
+                        "clip_id": clip_id,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_sec": round(n / sr, 6) if sr else None,
+                        "rms": round(rms, 4),
+                        "peak": int(np.max(np.abs(samples))) if n else 0,
+                        "zero_cross_rate": round(zc, 6),
+                        "clip_frac": round(clip_frac, 6),
+                        "decode_ok": True,
+                    }
+                )
+            except Exception:
+                out.append(
+                    {
+                        "clip_id": clip_id, "sample_rate": None, "n_samples": None,
+                        "duration_sec": None, "rms": None, "peak": None,
+                        "zero_cross_rate": None, "clip_frac": None, "decode_ok": False,
+                    }
+                )
+        yield pd.DataFrame(out, columns=cols)
+
+
 def audio_features(clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio decode requires a codec library not present in this
-    container. The Arrow-batch plumbing (schema, batch signature,
-    scan-stage placement) is real; the decode raises until a backend
-    (soundfile/ffmpeg) is wired in."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode backend not available in this container; "
-            "wire soundfile/ffmpeg into audio_features.batches"
-        )
-        yield  # pragma: no cover
-
+    """REAL audio decode + features for WAV (RIFF PCM16 — pure-stdlib
+    codec, ``codecs.decode_wav``): sample counts, duration, RMS, peak,
+    zero-crossing rate, clipping fraction. Arrow-batched; bytes consumed
+    in the scan stage, never shuffled (same discipline as
+    ``image_features``). Non-WAV payloads (mp3/flac/ogg need codec
+    libraries absent from this container) come back ``decode_ok=False``
+    per row — wire soundfile/ffmpeg into ``_audio_feature_batches`` to
+    extend coverage without touching the dataflow."""
     return clips.select(
         F.col(id_col).alias("clip_id"), F.col(bytes_col).alias("bytes")
-    ).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    ).mapInPandas(_audio_feature_batches, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:

@@ -178,10 +178,20 @@ def scaling_mode() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")
     )
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    # The scaling run uses a LARGER input than the headline bench: after
+    # the round-2 kernel optimizations the per-image cost dropped ~2.3x,
+    # so at 10k images the ~16 s of input-size-independent work per pass
+    # (AQE job scheduling across the 7-rule union's exchanges, Catalyst
+    # analysis, drift/stats collect jobs) dominates and masks executor
+    # scaling — the regime the north rule measures is compute-dominant
+    # (10^12 rows), which 160k images restores locally (fixed share ~6%
+    # of the local[1] leg; solved from best-of interleaved pairs:
+    # pass = S/cores + f with S≈117 s, f≈16 s at n=80k).
+    n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "160000"))
 
     def one(cores: int) -> dict:
         out = subprocess.run(
-            [sys.executable, __file__, "--single-run", str(cores), str(N_IMAGES)],
+            [sys.executable, __file__, "--single-run", str(cores), str(n_scaling)],
             capture_output=True, text=True, timeout=1800,
             env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
@@ -205,7 +215,7 @@ def scaling_mode() -> None:
     factor = pair[1] / pair[0]
     eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / factor
     report = {
-        "n_images": N_IMAGES,
+        "n_images": n_scaling,
         "cores_lo": pair[0],
         "cores_hi": pair[1],
         f"local{pair[0]}_images_per_sec": round(r_lo["images_per_sec"], 2),

@@ -207,13 +207,41 @@ def test_multimodal_image_features_and_resize(spark):
 
 
 def test_multimodal_stubs_raise_cleanly(spark):
-    from assetdatavalidationtool_spark.operators.multimodal import audio_features
+    from assetdatavalidationtool_spark.operators.multimodal import sample_video_frames
     import pytest as _pytest
 
-    clips = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
+    vids = spark.createDataFrame([("v1", b"xx")], "video_id string, bytes binary")
     with _pytest.raises(Exception) as exc:
-        audio_features(clips).collect()
-    assert "NotImplementedError" in str(exc.value) or "audio decode" in str(exc.value)
+        sample_video_frames(vids).collect()
+    assert "NotImplementedError" in str(exc.value) or "video decode" in str(exc.value)
+
+
+def test_audio_features_wav(spark):
+    """Real end-to-end audio path: synthesize WAV clips, decode in the
+    Arrow batch UDF, check features against driver-side numpy; non-WAV
+    payloads degrade to decode_ok=False per row (not a job failure)."""
+    import numpy as np
+
+    from assetdatavalidationtool_spark.datagen import make_audio_row, render_audio
+    from assetdatavalidationtool_spark.operators.multimodal import audio_features
+
+    rows = [make_audio_row(i, n_samples=4000) for i in range(6)]
+    rows.append({"clip_id": "clip_bad", "bytes": b"not audio",
+                 "sample_rate": 0, "n_samples": 0})
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sample_rate int, n_samples int"
+    )
+    got = {r["clip_id"]: r for r in audio_features(clips).collect()}
+    assert len(got) == 7
+    assert got["clip_bad"]["decode_ok"] is False and got["clip_bad"]["rms"] is None
+
+    s = render_audio("clip_000000003", 4000).astype(np.float64)
+    expect_rms = round(float(np.sqrt(np.mean(s * s))), 4)
+    r3 = got["clip_000000003"]
+    assert r3["decode_ok"] and r3["n_samples"] == 4000
+    assert r3["sample_rate"] == 16000 and abs(r3["duration_sec"] - 0.25) < 1e-9
+    assert abs(r3["rms"] - expect_rms) < 1e-6
+    assert 0.0 < r3["zero_cross_rate"] < 0.5 and r3["clip_frac"] == 0.0
 
 def test_ivf_hot_cell_guard_drops_mega_cell(vectors, spark):
     """A planted hot cluster (30 identical vectors in one cell) must be

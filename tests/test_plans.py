@@ -99,3 +99,25 @@ def test_normalize_values_stays_codegen(spark):
     p = plan(QUERIES["normalize_values"].fn(spark, SF))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "codegen id" in p  # formatted mode marks codegen stages with *
+
+
+def test_dedup_contract_plans_carry_skew_guards(spark):
+    """The VERIFIED plans (what the driver correctness-checks and the
+    bench times) must be the scale-safe variants: the stop-shingle /
+    mega-bucket caps appear as broadcast anti-joins in the physical
+    plan — not as optional parameters someone remembered to pass."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_ivf_topk",
+                 "dedup_embedding_neardup"):
+        p = plan(QUERIES[name].fn(spark, SF))
+        assert "LeftAnti" in p, f"{name}: skew-guard anti-join missing from plan"
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
+            f"{name}: guard should broadcast the hot-group list"
+        )
+
+
+def test_jaccard_self_join_reuses_shuffle(spark):
+    """ngram_jaccard_pairs dropped its persist: the self-join's two
+    sides must dedupe into ONE shuffle via ReusedExchange, or the
+    shingle build runs twice."""
+    p = plan(QUERIES["dedup_ngram_jaccard"].fn(spark, SF))
+    assert "ReusedExchange" in p

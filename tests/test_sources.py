@@ -190,3 +190,44 @@ def test_xlsx_reader_reference_parity(spark, tmp_path):
     assert read_headers(bad) == []
     assert read_first_sheet(bad) == ([], [])
     assert read_xlsx(spark, bad).count() == 0
+
+
+def test_sanitizers_and_packaging(tmp_path):
+    """F12/F14/S10 parity: XML-char filtering, sheet-name rules with
+    case-insensitive (2)-suffix dedupe, and the run zip layout."""
+    import zipfile
+
+    from assetdatavalidationtool_spark.sources.package import (
+        dedupe_sheet_names,
+        package_run,
+        sanitize_for_xml,
+        sanitize_sheet_name,
+    )
+
+    # F12: control chars dropped, tab/newline/CR kept, BMP text kept
+    assert sanitize_for_xml("a\x00b\x08c\td\ne\rf") == "abc\td\ne\rf"
+    assert sanitize_for_xml(None) == ""
+    assert sanitize_for_xml("héllo 漢字") == "héllo 漢字"
+
+    # F14: invalid chars DROPPED (not replaced), 31-char cap, fallback
+    assert sanitize_sheet_name("a:b\\c/d?e*f[g]h") == "abcdefgh"
+    assert sanitize_sheet_name("x" * 40) == "x" * 31
+    assert sanitize_sheet_name("  ") == "Sheet"
+    assert sanitize_sheet_name("[:]") == "Sheet"
+    names = dedupe_sheet_names(["Deltas", "deltas", "DELTAS", "Deltas (2)"])
+    assert names == ["Deltas", "deltas (2)", "DELTAS (3)", "Deltas (2) (2)"]
+
+    # S10: zip layout — report at root, deduped sources under sources/,
+    # audit log at root; spaces -> underscores in the name
+    rep = tmp_path / "report"; rep.mkdir()
+    (rep / "summary.parquet").write_bytes(b"p1")
+    src1 = tmp_path / "inv.csv"; src1.write_text("a,b")
+    audit = tmp_path / "audit.log"; audit.write_text("ok")
+    z = package_run(
+        "Network Devices", str(rep), [str(src1), str(src1).upper()],
+        str(audit), str(tmp_path / "out"), date="20260816", username="svc",
+    )
+    assert z.endswith("Network_Devices-20260816-svc.zip")
+    with zipfile.ZipFile(z) as zf:
+        entries = sorted(zf.namelist())
+    assert entries == ["audit.log", "report/summary.parquet", "sources/inv.csv"]
