@@ -118,6 +118,10 @@ def test_dedup_contract_plans_carry_skew_guards(spark):
 def test_jaccard_self_join_reuses_shuffle(spark):
     """ngram_jaccard_pairs dropped its persist: the self-join's two
     sides must dedupe into ONE shuffle via ReusedExchange, or the
-    shingle build runs twice."""
-    p = plan(QUERIES["dedup_ngram_jaccard"].fn(spark, SF))
-    assert "ReusedExchange" in p
+    shingle build runs twice. AQE only materializes reuse in the FINAL
+    plan, so execute first and inspect the adaptive executed plan."""
+    df = QUERIES["dedup_ngram_jaccard"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed
