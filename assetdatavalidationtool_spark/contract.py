@@ -1160,6 +1160,26 @@ _IVF_TOPK_SQL = f"""
 """
 
 
+# Trained-quantizer IVF: spherical k-means (Lloyd) is iterative and not
+# SQL-expressible, so this is a rows-only contract entry (sql=None → the
+# driver records the weaker check, as documented). Determinism still
+# holds: same seed + same data → same centroids → same assignment
+# histogram. The oracle-checked quantizer math is covered by
+# similarity_ivf_cells / similarity_ivf_topk (seeded centroids).
+@register("similarity_ivf_trained_cells", None)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, "embedding", n_cells=4, dim=64, n_iters=2)
+    return (
+        ivf_assign(emb, "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cell")
+    )
+
+
 @register("similarity_ivf_topk", _IVF_TOPK_SQL)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

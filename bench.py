@@ -246,7 +246,14 @@ def main() -> None:
     from assetdatavalidationtool_spark.contract import QUERIES
     from assetdatavalidationtool_spark.session import get_spark
 
-    spark = get_spark(cores=CPUS, app_name="bench", driver_memory="48g")
+    # Contract queries run at min(8, CPUS) for the same reason as the
+    # image pass (below): this VM delivers ~10 effective cores however
+    # many vCPUs are advertised, and local[32] measures scheduler thrash
+    # (dedup_minhash_lsh: 3.4 s steady-state at local[8] vs 8-21 s at
+    # local[32] on identical data). Recorded transparently as
+    # query_cores.
+    query_cores = min(8, CPUS)
+    spark = get_spark(cores=query_cores, app_name="bench", driver_memory="48g")
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
@@ -274,6 +281,14 @@ def main() -> None:
     queries["image_validation_full_pass"] = round(t_images, 3)
     total += t_images
 
+    # untimed warm-up: JIT the scan/shuffle/codegen paths + spawn the
+    # Arrow workers once, so the first timed query doesn't absorb
+    # session warm-up (observed +10-20 s on whichever query runs first)
+    warm_python_workers(spark)
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").groupBy(
+        "c_mktsegment"
+    ).count().collect()
+
     for name, cq in QUERIES.items():
         t0 = time.time()
         df = cq.fn(spark, SF_DIR)
@@ -294,6 +309,7 @@ def main() -> None:
                 "n_images": N_IMAGES,
                 "image_pass_violations": stats["n_violations"],
                 "image_pass_cores": image_cores,
+                "query_cores": query_cores,
                 "cpus": CPUS,
             }
         )
