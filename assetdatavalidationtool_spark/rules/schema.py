@@ -64,9 +64,26 @@ class SchemaRule(Rule):
         # explode drops the nulls. One branch in the violations union
         # regardless of column count (vs one scan per check, which at
         # ~10 checks multiplies AQE stage-scheduling overhead ~10x).
+        #
+        # EXCEPTION — wide binary columns with ONLY a nullability check:
+        # folding `bytes IS NULL` into the fused scan forces the scan to
+        # READ the multi-GB binary column (no pushdown: it's a projected
+        # expression, not a filter). Split those into their own
+        # `WHERE col IS NULL` branch instead: the IsNull filter pushes to
+        # parquet, row-group null_count stats skip every clean group, and
+        # the fused scan prunes the binary column away — in the common
+        # all-clean case the rule never touches the image bytes at all.
         checks = []
+        wide_null_specs = []
         for spec in self.columns:
             if spec.name not in actual:
+                continue
+            if (
+                actual[spec.name] == "binary"
+                and not spec.nullable
+                and spec.domain is None
+            ):
+                wide_null_specs.append(spec)
                 continue
             if not spec.nullable:
                 checks.append(
@@ -88,23 +105,35 @@ class SchemaRule(Rule):
                         ),
                     )
                 )
-        if not checks:
+        if not checks and not wide_null_specs:
             return out
         df_b = ctx.with_bucket(df)
-        fused = (
-            df_b.select(
-                F.col(ctx.key_col).cast("string").alias("key"),
-                F.col("bucket"),
-                F.array_compact(F.array(*checks)).alias("_viol"),
+        if checks:
+            fused = (
+                df_b.select(
+                    F.col(ctx.key_col).cast("string").alias("key"),
+                    F.col("bucket"),
+                    F.array_compact(F.array(*checks)).alias("_viol"),
+                )
+                .where(F.size("_viol") > 0)
+                .select(
+                    F.lit(self.name).alias("rule"),
+                    "key",
+                    F.explode("_viol").alias("v"),
+                    "bucket",
+                )
+                .select("rule", "key", F.col("v.column").alias("column"),
+                        F.col("v.detail").alias("detail"), "bucket")
             )
-            .where(F.size("_viol") > 0)
-            .select(
-                F.lit(self.name).alias("rule"),
-                "key",
-                F.explode("_viol").alias("v"),
-                "bucket",
+            out = out.unionByName(fused)
+        for spec in wide_null_specs:
+            out = out.unionByName(
+                df_b.where(F.col(spec.name).isNull()).select(
+                    F.lit(self.name).alias("rule"),
+                    F.col(ctx.key_col).cast("string").alias("key"),
+                    F.lit(spec.name).alias("column"),
+                    F.lit("null value").alias("detail"),
+                    F.col("bucket"),
+                )
             )
-            .select("rule", "key", F.col("v.column").alias("column"),
-                    F.col("v.detail").alias("detail"), "bucket")
-        )
-        return out.unionByName(fused)
+        return out

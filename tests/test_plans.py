@@ -125,3 +125,37 @@ def test_jaccard_self_join_reuses_shuffle(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "ReusedExchange" in executed
+
+
+def test_schema_binary_null_check_pushes_down(spark, tmp_path_factory):
+    """A binary column with only a nullability check must NOT be read by
+    the fused schema scan: its IS NULL check runs as its own branch with
+    the filter pushed to parquet (row-group null_count stats skip clean
+    groups), and the fused scan's ReadSchema excludes the binary column."""
+    from assetdatavalidationtool_spark.datagen import generate_images
+    from assetdatavalidationtool_spark.rules import RuleContext, SchemaRule
+    from assetdatavalidationtool_spark.rules.schema import ColumnSpec
+
+    path = str(tmp_path_factory.mktemp("schemaplan") / "imgs")
+    generate_images(spark, 50, partitions=2).write.parquet(path)
+    images = spark.read.parquet(path)
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    rule = SchemaRule([
+        ColumnSpec("image_id", "string", nullable=False),
+        ColumnSpec("bytes", "binary", nullable=False),
+        ColumnSpec("w", "int", nullable=False),
+    ])
+    p = plan(rule.violations(ctx))
+    assert "IsNull(bytes)" in p  # pushed filter on the dedicated branch
+    # the fused scan (the one that projects w) must not read bytes
+    fused_scans = [
+        seg for seg in p.split("Scan parquet")[1:] if "ReadSchema" in seg
+    ]
+    fused = [s for s in fused_scans if "w:int" in s.split("ReadSchema")[1][:200]]
+    assert fused and all("bytes" not in s.split("ReadSchema")[1][:200] for s in fused)
+    # correctness: null w/h faults still counted once each; no bytes nulls
+    imgs2 = generate_images(spark, 50, partitions=2, null_dim_ids=3)
+    ctx2 = RuleContext(spark=spark, images=imgs2, captions=None, num_buckets=8)
+    vio = rule.violations(ctx2).collect()
+    assert sum(1 for r in vio if r["column"] == "w") == 3
+    assert sum(1 for r in vio if r["column"] == "bytes") == 0
