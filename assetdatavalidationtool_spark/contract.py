@@ -1160,13 +1160,64 @@ _IVF_TOPK_SQL = f"""
 """
 
 
-# Trained-quantizer IVF: spherical k-means (Lloyd) is iterative and not
-# SQL-expressible, so this is a rows-only contract entry (sql=None → the
-# driver records the weaker check, as documented). Determinism still
-# holds: same seed + same data → same centroids → same assignment
-# histogram. The oracle-checked quantizer math is covered by
-# similarity_ivf_cells / similarity_ivf_topk (seeded centroids).
-@register("similarity_ivf_trained_cells", None)
+# Trained-quantizer IVF: spherical k-means (Lloyd) with a FIXED, small
+# n_iters IS SQL-expressible by unrolling each iteration as a CTE layer:
+# assign = argmin via row_number over per-cell dot products (ties →
+# lower cell, matching `_cell_expr`'s first-WHEN-wins), update = one
+# AVG per (cell, pos) + L2 renormalize. Portability hinges on
+# train_ivf_centroids ROUNDING each trained centroid component to 6
+# decimals (operators/similarity.py): that absorbs the cross-engine
+# last-ulp difference in AVG accumulation order, so both engines carry
+# bit-identical centroids into the next iteration.
+def _lloyd_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    a_{out} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT p.vec_id, p.v, c.cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY list_dot_product(p.v, c.cv) DESC, c.cell ASC) AS rn
+        FROM p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    m_{out} AS (
+      SELECT cell, pos, avg(v[pos]) AS m
+      FROM a_{out}, range(1, 65) t(pos)
+      GROUP BY cell, pos
+    ),
+    n_{out} AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM m_{out} GROUP BY cell),
+    u_{out} AS (
+      SELECT m.cell,
+             list(round(m.m / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END), 6)
+                  ORDER BY m.pos) AS cv
+      FROM m_{out} m JOIN n_{out} n USING (cell)
+      GROUP BY m.cell, n.nrm
+    ),
+    c_{out} AS (
+      SELECT c.cell, coalesce(u.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN u_{out} u USING (cell)
+    )"""
+
+
+_IVF_TRAINED_SQL = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c_i0 AS (
+      {' UNION ALL '.join(f"SELECT {i} AS cell, {lit} AS cv"
+                          for i, lit in enumerate(_CENT_LITS))}
+    ),{_lloyd_iter_sql('c_i0', 'i1')},{_lloyd_iter_sql('c_i1', 'i2')},
+    afinal AS (
+      SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY list_dot_product(p.v, c.cv) DESC, c.cell ASC) AS rn
+        FROM p CROSS JOIN c_i2 c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vecs
+    FROM afinal GROUP BY cell ORDER BY cell
+"""
+
+
+@register("similarity_ivf_trained_cells", _IVF_TRAINED_SQL)
 def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import train_ivf_centroids
 

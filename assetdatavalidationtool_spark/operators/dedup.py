@@ -40,19 +40,47 @@ def _tokenize(c: F.Column) -> F.Column:
     return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def _parse_byte_conf(s: str) -> int:
+    """'128MB' / '134217728b' / '134217728' → bytes."""
+    import re as _re
+
+    m = _re.match(r"^\s*(\d+)\s*([kmgt]?)b?\s*$", s.lower())
+    if not m:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * {"": 1, "k": 1024, "m": 1024**2,
+                              "g": 1024**3, "t": 1024**4}[m.group(2)]
+
+
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """CPU-parallelism guard for expression-heavy per-row operators:
     a small input often arrives as ONE scan partition (single parquet
     row group), serializing tokenize/n-gram work onto one core. If the
-    scan has fewer partitions than the cluster's default parallelism,
-    repartition up (the input is small by construction, so the shuffle
-    is pennies); at real scale inputs already have >= cores partitions
-    and this is a no-op — no shuffle is ever added to a big table."""
+    scan would have fewer partitions than the cluster's default
+    parallelism, repartition up (the input is small by construction, so
+    the shuffle is pennies); at real scale inputs already yield >= cores
+    partitions and this is a no-op — no shuffle is ever added to a big
+    table.
+
+    The partition estimate comes from Catalyst's plan statistics
+    (``sizeInBytes`` / ``spark.sql.files.maxPartitionBytes`` — the same
+    arithmetic FileSourceScanExec uses to pack splits), NOT from
+    ``df.rdd``: converting to an RDD forces a full plan analysis round
+    trip per call and bypasses AQE's view of the plan."""
     if df.isStreaming:
         return df  # micro-batch partitioning is the stream's concern
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_pb = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        est_partitions = max(1, (size + max_pb - 1) // max_pb)
+    except Exception:
+        return df  # no stats available: leave the plan untouched
+    if est_partitions < target:
         return df.repartition(target)
     return df
 

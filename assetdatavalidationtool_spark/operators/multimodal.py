@@ -148,7 +148,10 @@ def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 n = len(mono)
                 rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))) if n else 0.0
                 zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
-                clip_frac = float(np.mean(np.abs(samples) >= 32767)) if n else 0.0
+                # abs on widened int32: np.abs(int16 -32768) wraps back to
+                # -32768, hiding negative-rail clipping and corrupting peak.
+                abs_samples = np.abs(samples.astype(np.int32))
+                clip_frac = float(np.mean(abs_samples >= 32767)) if n else 0.0
                 out.append(
                     {
                         "clip_id": clip_id,
@@ -156,7 +159,7 @@ def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                         "n_samples": n,
                         "duration_sec": round(n / sr, 6) if sr else None,
                         "rms": round(rms, 4),
-                        "peak": int(np.max(np.abs(samples))) if n else 0,
+                        "peak": int(abs_samples.max()) if n else 0,
                         "zero_cross_rate": round(zc, 6),
                         "clip_frac": round(clip_frac, 6),
                         "decode_ok": True,

@@ -78,18 +78,25 @@ class DriftRule(Rule):
 
     def __post_init__(self):
         self.name = f"drift({self.column})"
-        # memoized per run context: metrics() AND violations() both need
-        # the scores, and without this each triggered a full input scan
-        # (two histogram jobs per rule per run).
-        self._scores_cache: dict[int, tuple[float, float]] = {}
 
     def _scores(self, ctx: RuleContext) -> tuple[float, float]:
-        key = id(ctx)
-        if key not in self._scores_cache:
+        # Memoized ON the RuleContext (not keyed by id(ctx): CPython
+        # reuses object ids after GC, and a rule-held dict would both
+        # leak across runs and risk stale hits). metrics() AND
+        # violations() need the scores; without the memo each triggered
+        # a full input scan (two histogram jobs per rule per run). The
+        # memo dies with the context, so there is nothing to evict.
+        memo = ctx.extras.setdefault("_drift_scores", {})
+        # key by the full rule CONFIG (not just name): two drift rules on
+        # the same column with different references must not share, and a
+        # value-identical config computing identical scores safely may.
+        key = (self.column, self.kind, tuple(sorted(self.reference.items())),
+               self.lo, self.hi, self.bins)
+        if key not in memo:
             hist = histogram(ctx.images, self.column, self.kind, self.lo, self.hi, self.bins)
             cur = {r["bin"]: r["cnt"] for r in hist.collect()}
-            self._scores_cache[key] = ks_psi(cur, self.reference)
-        return self._scores_cache[key]
+            memo[key] = ks_psi(cur, self.reference)
+        return memo[key]
 
     def metrics(self, ctx: RuleContext) -> DataFrame:
         ks, psi = self._scores(ctx)

@@ -26,6 +26,7 @@ inputs join the same validation plans as every other source.
 
 from __future__ import annotations
 
+import posixpath
 import re
 import zipfile
 import xml.etree.ElementTree as ET
@@ -86,7 +87,14 @@ def _first_sheet_xml(zf: zipfile.ZipFile) -> bytes | None:
             break
     if not target:
         return None
-    path = target if target.startswith("xl/") else f"xl/{target}"
+    # OPC part-reference resolution (GetPartById semantics): targets may
+    # be package-absolute ("/xl/worksheets/sheet1.xml") or relative with
+    # "../" segments; both must normalize to a real zip member or a
+    # valid workbook silently reads as empty.
+    if target.startswith("/"):
+        path = posixpath.normpath(target.lstrip("/"))
+    else:
+        path = posixpath.normpath(posixpath.join("xl", target))
     try:
         return zf.read(path)
     except KeyError:

@@ -7,11 +7,20 @@ Default mode (what the driver runs): one JSON line with
     synthetic image+caption table (images validated / sec)
 
 Scaling mode (``python bench.py --scaling``): runs the identical image
-validation job in two fresh subprocesses at local[8] and local[32] on
-the SAME parquet input and reports throughput at both plus
-``efficiency = (T32 / T8) / 4`` — the sandbox proxy for the north
-rule's N → 4N executor criterion (see BASELINE.md). Results are
-appended to BENCH/BASELINE.md.
+validation job in two fresh subprocesses at N and 4N cores on the SAME
+parquet input and reports throughput at both plus
+``efficiency = (throughput_4N / throughput_N) / 4`` — the sandbox
+proxy for the north rule's N → 4N executor criterion. The default pair
+is local[1] → local[4] because this VM delivers only ~10 effective
+cores however many vCPUs it advertises (see BASELINE.md); override
+with SPARK_GRAFT_SCALING_CORES. Results land in
+BENCH/scaling_last.json and are summarized in BENCH/BASELINE.md.
+
+Noise protocol (both modes): this host sees multi-minute co-tenant
+load storms that inflate wall times 5-30x. Every timed unit is
+best-of-2 (with extra retries if every attempt's window was loaded),
+and /proc/loadavg is captured around each attempt and recorded in the
+JSON so an inflated record is detectable after the fact.
 """
 
 from __future__ import annotations
@@ -26,6 +35,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "10000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+# 1-min loadavg above which a timing window counts as "loaded" and the
+# measurement is retried. Our own local[8] query session contributes
+# ~8-10 runnable threads; a co-tenant storm stacks well beyond that.
+LOAD_RETRY = float(os.environ.get("SPARK_GRAFT_LOAD_RETRY", "16"))
+
+
+def loadavg_1m() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # non-Linux fallback
+        return 0.0
+
+
+def timed_best(run, attempts: int = 2, max_extra: int = 2) -> dict:
+    """Best-of-N timing with loadavg capture. ``run`` is a nullary that
+    executes the unit once. Returns wall time of the best attempt plus
+    the load window around it; retries (up to ``max_extra``) when every
+    attempt so far ran under co-tenant load > LOAD_RETRY."""
+    tries = []
+    while True:
+        l0 = loadavg_1m()
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        l1 = loadavg_1m()
+        tries.append({"sec": dt, "load_before": l0, "load_after": l1})
+        done_min = len(tries) >= attempts
+        all_loaded = all(max(t["load_before"], t["load_after"]) > LOAD_RETRY for t in tries)
+        if done_min and (not all_loaded or len(tries) >= attempts + max_extra):
+            break
+    best = min(tries, key=lambda t: t["sec"])
+    return {
+        "sec": best["sec"],
+        "load": round(max(best["load_before"], best["load_after"]), 2),
+        "attempts": len(tries),
+        "all_secs": [round(t["sec"], 3) for t in tries],
+    }
 
 
 def materialize_images(spark, n: int) -> tuple[str, str]:
@@ -157,16 +204,21 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
     spark.read.parquet(img_path).agg(F.sum(F.length("bytes"))).collect()
     spark.read.parquet(cap_path).count()
     best = None
+    all_walls = []
     for _ in range(repeats):
+        l0 = loadavg_1m()
         t0 = time.time()
         stats = run_validation_pass(spark, img_path, cap_path)
         wall = time.time() - t0
+        load = max(l0, loadavg_1m())
+        all_walls.append(round(wall, 3))
         if best is None or wall < best[0]:
-            best = (wall, stats)
+            best = (wall, stats, load)
     spark.stop()
-    wall, stats = best
+    wall, stats, load = best
     return {"cores": cores, "n_images": n, "wall_sec": wall,
-            "images_per_sec": n / wall, **stats}
+            "images_per_sec": n / wall, "load": round(load, 2),
+            "all_walls": all_walls, **stats}
 
 
 def scaling_mode() -> None:
@@ -203,12 +255,15 @@ def scaling_mode() -> None:
     # Scaling efficiency is a MATCHED-CONDITIONS ratio, so the two legs
     # of a pair must see the same co-tenant load. Legs are run in
     # adjacent lo→hi pairs (rounds); each round yields its own
-    # efficiency and the best round is reported. Taking the max per
-    # LEVEL across rounds instead is biased low under this host's
-    # multiplicative noise: it pairs a lucky quiet-window local[lo]
-    # with an unlucky local[hi] from a different window (observed:
-    # per-round 0.84 vs cross-round-max 0.63 on identical data). All
-    # rounds land in BENCH/scaling_last.json for inspection.
+    # efficiency. Taking the max per LEVEL across rounds is biased low
+    # under this host's multiplicative noise (pairs a lucky local[lo]
+    # with an unlucky local[hi] from a different window: observed 0.84
+    # per-round vs 0.63 cross-round-max on identical data) — and taking
+    # the max per ROUND is biased high (best of N noisy ratios). The
+    # headline is therefore the MEDIAN round efficiency (lower median
+    # for even N, so it is always a real measured round), with
+    # min/median/max and every round recorded for transparency in
+    # BENCH/scaling_last.json.
     factor = pair[1] / pair[0]
     results = []
     rounds_out = []
@@ -219,14 +274,17 @@ def scaling_mode() -> None:
         eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / factor
         rounds_out.append({"lo": r_lo, "hi": r_hi, "efficiency": round(eff, 3)})
         print(f"round efficiency: {eff:.3f}", file=sys.stderr)
-    best_round = max(rounds_out, key=lambda r: r["efficiency"])
+    effs = sorted(r["efficiency"] for r in rounds_out)
+    median_round = sorted(rounds_out, key=lambda r: r["efficiency"])[(len(rounds_out) - 1) // 2]
     report = {
         "n_images": n_scaling,
         "cores_lo": pair[0],
         "cores_hi": pair[1],
-        f"local{pair[0]}_images_per_sec": round(best_round["lo"]["images_per_sec"], 2),
-        f"local{pair[1]}_images_per_sec": round(best_round["hi"]["images_per_sec"], 2),
-        "scaling_efficiency": best_round["efficiency"],
+        f"local{pair[0]}_images_per_sec": round(median_round["lo"]["images_per_sec"], 2),
+        f"local{pair[1]}_images_per_sec": round(median_round["hi"]["images_per_sec"], 2),
+        "scaling_efficiency": median_round["efficiency"],
+        "efficiency_min": effs[0],
+        "efficiency_max": effs[-1],
         "round_efficiencies": [r["efficiency"] for r in rounds_out],
     }
     print(json.dumps(report))
@@ -289,13 +347,18 @@ def main() -> None:
         "c_mktsegment"
     ).count().collect()
 
+    # Best-of-2 per query with loadavg capture (VERDICT r2 #1): a single
+    # shot under a co-tenant load storm recorded 9-27x inflated times in
+    # round 2; best-of-2 + load annotation makes the record trustworthy
+    # and an inflated window detectable.
+    query_load: dict[str, float] = {}
+    query_attempts: dict[str, int] = {}
     for name, cq in QUERIES.items():
-        t0 = time.time()
-        df = cq.fn(spark, SF_DIR)
-        df.collect()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total += dt
+        r = timed_best(lambda: cq.fn(spark, SF_DIR).collect())
+        queries[name] = round(r["sec"], 3)
+        query_load[name] = r["load"]
+        query_attempts[name] = r["attempts"]
+        total += r["sec"]
 
     print(
         json.dumps(
@@ -309,8 +372,13 @@ def main() -> None:
                 "n_images": N_IMAGES,
                 "image_pass_violations": stats["n_violations"],
                 "image_pass_cores": image_cores,
+                "image_pass_load": img_run.get("load"),
                 "query_cores": query_cores,
                 "cpus": CPUS,
+                "timing_protocol": "best-of-2 per query, retry if loadavg>"
+                f"{LOAD_RETRY:g} in every window",
+                "query_load_1m": query_load,
+                "query_attempts": query_attempts,
             }
         )
     )

@@ -228,12 +228,25 @@ def test_audio_features_wav(spark):
     rows = [make_audio_row(i, n_samples=4000) for i in range(6)]
     rows.append({"clip_id": "clip_bad", "bytes": b"not audio",
                  "sample_rate": 0, "n_samples": 0})
+    corrupt = make_audio_row(99, n_samples=4000, corrupt=True)
+    rows.append(corrupt)
     clips = spark.createDataFrame(
         rows, "clip_id string, bytes binary, sample_rate int, n_samples int"
     )
     got = {r["clip_id"]: r for r in audio_features(clips).collect()}
-    assert len(got) == 7
+    assert len(got) == 8
     assert got["clip_bad"]["decode_ok"] is False and got["clip_bad"]["rms"] is None
+
+    # negative-rail clipping: the 4x-amplified corrupt clip saturates at
+    # BOTH rails; int16 abs wraps -32768 back to -32768, so the widened
+    # abs is what lets the detector see the negative rail at all.
+    s99 = (render_audio("clip_000000099", 4000).astype(np.int32) * 4).clip(-32768, 32767)
+    a99 = np.abs(s99)
+    expect_clip = round(float(np.mean(a99 >= 32767)), 6)
+    r99 = got["clip_000000099"]
+    assert (s99 == -32768).any(), "fixture must actually hit the negative rail"
+    assert r99["clip_frac"] == expect_clip and expect_clip > 0.0
+    assert r99["peak"] == int(a99.max()) == 32768
 
     s = render_audio("clip_000000003", 4000).astype(np.float64)
     expect_rms = round(float(np.sqrt(np.mean(s * s))), 4)

@@ -91,7 +91,8 @@ def test_connector_scaffolds(spark):
         LdapConnector("ldap://x", "dc=corp").fetch_rows()
 
 
-def _make_xlsx(path, header_cells, data_rows, shared=None):
+def _make_xlsx(path, header_cells, data_rows, shared=None,
+               rel_target="worksheets/sheet1.xml"):
     """Minimal hand-built xlsx: enough of the OOXML zip for the reader.
     header_cells / data_rows: list of (cell_ref_or_None, t, text)."""
     import zipfile
@@ -123,7 +124,7 @@ def _make_xlsx(path, header_cells, data_rows, shared=None):
     )
     rels = (
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        f'<Relationship Id="rId1" Type="x" Target="{rel_target}"/>'
         '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
         "</Relationships>"
     )
@@ -190,6 +191,20 @@ def test_xlsx_reader_reference_parity(spark, tmp_path):
     assert read_headers(bad) == []
     assert read_first_sheet(bad) == ([], [])
     assert read_xlsx(spark, bad).count() == 0
+
+    # OPC part-reference forms GetPartById accepts: package-absolute
+    # targets and relative targets with '../' segments must resolve to
+    # the same zip member (a valid workbook must not read as empty)
+    hdr = [("A1", "inlineStr", "id")]
+    data = [[("A2", "inlineStr", "v1")]]
+    p_abs = str(tmp_path / "abs.xlsx")
+    _make_xlsx(p_abs, hdr, data, rel_target="/xl/worksheets/sheet1.xml")
+    assert read_headers(p_abs) == ["id"]
+    assert read_first_sheet(p_abs)[1] == [{"id": "v1"}]
+    p_dots = str(tmp_path / "dots.xlsx")
+    _make_xlsx(p_dots, hdr, data, rel_target="../xl/worksheets/sheet1.xml")
+    assert read_headers(p_dots) == ["id"]
+    assert read_first_sheet(p_dots)[1] == [{"id": "v1"}]
 
 
 def test_sanitizers_and_packaging(tmp_path):
