@@ -201,10 +201,93 @@ def ivf_assign(
     """(vec_id, cell) — assign each vector to its nearest centroid by
     cosine (argmax over dot products with unit centroids; norm of the
     vector is constant across cells so plain dot suffices). Built-in
-    array ops only; a narrow scan-stage transformation."""
+    array ops only; a narrow scan-stage transformation.
+
+    Plan-size caveat: `_cell_expr` inlines every centroid as expression
+    literals — O(n_cells × dim) plan nodes. Fine for a small coarse
+    quantizer (≤ ~64 cells); a production inverted file with thousands
+    of cells must use :func:`ivf_assign_join`, where centroids are DATA
+    carried by a broadcast join and the plan stays O(1)."""
+    if len(centroids) > 64:
+        return ivf_assign_join(df, id_col, vec_col, centroids)
     return df.select(
         F.col(id_col).alias("vec_id"),
         _cell_expr(vec_col, centroids).alias("cell"),
+    )
+
+
+def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroids as a small DataFrame (cell int, cv array<double>) — the
+    form a trained quantizer is stored/broadcast in at real scale."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cv array<double>",
+    )
+
+
+def ivf_assign_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | DataFrame,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(vec_id, cell) assignment with centroids as DATA, not plan
+    literals — the 10^12-row form of `ivf_assign` (reference analog:
+    the hand-rolled key-lookup inner loop, Validator.cs:94-106, done
+    the Spark way).
+
+    Physical shape: the centroid table (n_cells × dim doubles — a few
+    MB even at thousands of cells) is collapsed to ONE row holding
+    ``array<struct<cell,cv>>`` sorted by cell, broadcast, and attached
+    to every vector row. With a single-row build side Catalyst plans
+    this as ``BroadcastNestedLoopJoin BuildRight`` — for one build row
+    that IS the broadcast hash-attach (an equi-join on a constant key
+    folds to exactly this), with none of the N×M blowup that makes
+    BNLJ dangerous on real joins. The argmax is then a
+    constant-plan-size ``transform`` + ``array_max`` over the array
+    (ties → lowest cell, identical semantics to `_cell_expr`'s
+    first-WHEN-wins). Compared to the naive explode-per-centroid +
+    groupBy(vec_id) argmin, this never shuffles the vector side at all
+    and adds zero expression nodes per cell: runtime is data-driven
+    O(n_cells × dim) per row, plan size O(1)."""
+    return attach_cell(df, vec_col, centroids).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cell"),
+        *(extra_cols or []),
+    )
+
+
+def attach_cell(
+    df: DataFrame, vec_col: str, centroids: list[list[float]] | DataFrame
+) -> DataFrame:
+    """All input columns + ``cell`` via the broadcast-join assignment
+    (see :func:`ivf_assign_join` for the physical-shape rationale)."""
+    spark = df.sparkSession
+    cents_df = (
+        centroids
+        if isinstance(centroids, DataFrame)
+        else centroids_table(spark, centroids)
+    )
+    one_row = cents_df.select(F.struct("cell", "cv").alias("s")).agg(
+        F.array_sort(F.collect_list("s")).alias("_cents")
+    )
+    # each dot computed exactly once (transform), then argmax via
+    # array_max over (d, -cell) structs: highest dot wins, ties go to
+    # the LOWEST cell — identical semantics to `_cell_expr`'s
+    # first-WHEN-wins on the literal path.
+    dots = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            _dot(F.col(vec_col), s["cv"]).alias("d"),
+            (-s["cell"]).alias("nc"),
+        ),
+    )
+    best_cell = (-F.array_max(dots)["nc"]).cast("int")
+    return (
+        df.crossJoin(F.broadcast(one_row))
+        .withColumn("cell", best_cell)
+        .drop("_cents")
     )
 
 
@@ -378,11 +461,19 @@ def train_ivf_centroids(
     for a given (seed, data)."""
     cents = ivf_centroids(dim, n_cells, seed)
     for _ in range(n_iters):
-        means = (
-            df.select(
+        if n_cells > 64:
+            # large quantizer: centroids as broadcast data (O(1) plan),
+            # same assignment semantics — see attach_cell
+            assigned = attach_cell(df.select(vec_col), vec_col, cents).select(
+                "cell", F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x")
+            )
+        else:
+            assigned = df.select(
                 _cell_expr(vec_col, cents).alias("cell"),
                 F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x"),
             )
+        means = (
+            assigned
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()

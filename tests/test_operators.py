@@ -395,3 +395,99 @@ def test_embedding_near_duplicates(vectors, spark):
         df, "vec_id", "embedding", tables, threshold=0.95, max_bucket_size=1
     ).collect()
     assert none == []
+
+
+def test_ivf_assign_join_matches_literal_path(spark):
+    """Centroids-as-data assignment (broadcast join + constant-size
+    fold): identical to the literal-expression path at a small
+    quantizer (exact tie semantics included), and correct vs numpy
+    argmax at 256 cells x dim 64 — a size where the literal path's
+    O(n_cells x dim) expression plan already takes minutes just to
+    analyze (the reason this path exists)."""
+    import numpy as np
+
+    from assetdatavalidationtool_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_join,
+        ivf_centroids,
+        _cell_expr,
+    )
+
+    # exact parity with the literal path (incl. tie-break) at 16 cells
+    dim = 8
+    cents_s = ivf_centroids(dim, 16, seed=5)
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(80)]
+    # planted exact tie: vec 80 is equidistant from two centroid copies
+    cents_s[7] = list(cents_s[2])
+    small = spark.createDataFrame(
+        rows + [(80, [float(x) for x in cents_s[2]])],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    joined_s = {r["vec_id"]: r["cell"]
+                for r in ivf_assign_join(small, "vec_id", "embedding", cents_s).collect()}
+    literal_s = {r["vec_id"]: r["cell"]
+                 for r in small.select(
+                     "vec_id", _cell_expr("embedding", cents_s).alias("cell")).collect()}
+    assert joined_s == literal_s and joined_s[80] == 2  # tie -> lowest cell
+
+    # 256-cell quantizer: correct vs driver-side numpy argmax
+    dim, n_cells, n_vecs = 64, 256, 300
+    cents = ivf_centroids(dim, n_cells, seed=11)
+    base = np.array([rng.randn(dim) for _ in range(n_vecs)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    expect = np.argmax(base @ np.array(cents).T, axis=1)
+    joined = {r["vec_id"]: r["cell"]
+              for r in ivf_assign_join(df, "vec_id", "embedding", cents).collect()}
+    assert joined == {i: int(expect[i]) for i in range(n_vecs)}
+    assert len(set(joined.values())) > 100  # spread over many cells
+
+    # plan shape: the centroid attach is a broadcast (one-row build
+    # side -> BroadcastNestedLoopJoin BuildRight, the broadcast
+    # hash-attach degenerate case) and the VECTOR side is never
+    # shuffled — the only exchanges are the tiny centroid-side
+    # SinglePartition collect and its broadcast
+    out = ivf_assign_join(df, "vec_id", "embedding", cents)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in final
+    assert "BroadcastExchange" in final
+    assert "Exchange hashpartitioning" not in final
+
+    # ivf_assign auto-routes large quantizers to the join path
+    auto = {r["vec_id"]: r["cell"]
+            for r in ivf_assign(df, "vec_id", "embedding", cents).collect()}
+    assert auto == joined
+
+
+def test_train_ivf_large_quantizer_uses_join_path(spark):
+    """train_ivf_centroids at n_cells>64 routes assignment through the
+    broadcast-join path; result matches a driver-side numpy Lloyd
+    iteration (same assign/avg/renormalize/round-6 semantics)."""
+    import numpy as np
+
+    from assetdatavalidationtool_spark.operators.similarity import (
+        ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    dim, n_cells, n_vecs = 8, 80, 120
+    rng = np.random.RandomState(9)
+    base = rng.randn(n_vecs, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = train_ivf_centroids(df, "embedding", n_cells, dim, n_iters=1, seed=4)
+
+    cents = np.array(ivf_centroids(dim, n_cells, seed=4))
+    assign = np.argmax(base.astype(np.float32).astype(np.float64) @ cents.T, axis=1)
+    expect = cents.copy()
+    for c in set(assign):
+        m = base[assign == c].mean(axis=0)
+        nrm = np.linalg.norm(m) or 1.0
+        expect[c] = np.round(m / nrm, 6)
+    np.testing.assert_allclose(np.array(got), expect, atol=2e-6)
