@@ -227,3 +227,113 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     samples = np.frombuffer(pcm, dtype="<i2")
     return samples.reshape(-1, channels).copy(), int(sample_rate)
+
+
+# ---------------------------------------------------------------------------
+# Video: YUV4MPEG2 (Y4M) — a REAL, pure-stdlib uncompressed video codec
+# (the video analog of decode_wav). Y4M is the standard raw-video
+# interchange container (mjpegtools/ffmpeg): one ASCII header line,
+# then per frame a "FRAME\n" marker + raw planar YCbCr. We support
+# C444 (full-res chroma) and C420jpeg/C420mpeg2/C420 (2x2-subsampled
+# chroma, upsampled by replication on decode). Colorspace is full-range
+# BT.601 (JPEG-style), integer-rounded — C444 round-trips RGB to
+# within +/-1 per channel (PSNR >> 40 dB). Compressed codecs (h264 et
+# al) need ffmpeg and degrade per-row upstream.
+# ---------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → full-range BT.601 YCbCr, uint8."""
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 full-range BT.601 YCbCr → RGB, uint8."""
+    f = img.astype(np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 30, subsampling: str = "444") -> bytes:
+    """Y4M bytes from (n_frames, h, w, 3) uint8 RGB frames.
+    subsampling: '444' (lossless to +/-1) or '420' (2x2 chroma mean)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    if subsampling == "420" and (h % 2 or w % 2):
+        raise ValueError("C420 needs even dimensions")
+    ctag = "C444" if subsampling == "444" else "C420jpeg"
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {ctag}\n".encode()]
+    for fr in frames:
+        ycc = rgb_to_ycbcr(fr)
+        out.append(b"FRAME\n")
+        out.append(ycc[..., 0].tobytes())
+        if subsampling == "444":
+            out.append(ycc[..., 1].tobytes())
+            out.append(ycc[..., 2].tobytes())
+        else:
+            for ch in (1, 2):
+                p = ycc[..., ch].astype(np.float64)
+                sub = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                out.append(np.clip(np.rint(sub), 0, 255).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int]:
+    """([(h, w, 3) uint8 RGB frames], fps) from Y4M bytes."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = 30
+    ctag = "C420jpeg"  # the spec default when no C tag is present
+    for tok in data[len(Y4M_MAGIC):nl].decode("ascii", "replace").split():
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = max(1, round(int(num) / int(den)))
+        elif tok[0] == "C":
+            ctag = tok
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if ctag.startswith("C444"):
+        sub = False
+    elif ctag.startswith("C420"):
+        sub = True
+    else:
+        raise ValueError(f"unsupported subsampling {ctag}")
+    ysz = w * h
+    csz = ysz if not sub else (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(data):
+            raise ValueError("truncated frame")
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w)
+        cb = np.frombuffer(data, np.uint8, csz, pos + ysz)
+        cr = np.frombuffer(data, np.uint8, csz, pos + ysz + csz)
+        if sub:
+            cb = cb.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            cr = cr.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+        else:
+            cb = cb.reshape(h, w)
+            cr = cr.reshape(h, w)
+        frames.append(ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1)))
+        pos += ysz + 2 * csz
+    return frames, fps

@@ -882,6 +882,50 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket-local ANN top-k (operators/similarity.py::lsh_ann_topk):
+# bounded query block (vec_id < 20), candidates only from the query's
+# own sign bucket, hot-bucket guard wired (anti-join in the plan; cap
+# above test-SF bucket sizes so values are bucket-exact — the pytest
+# plants a hot bucket to prove the drop).
+_LSH_BUCKET_CAP = 10000
+_LSH_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_PLANE_LITS[i]}) > 0 THEN {2**i} ELSE 0 END)"
+    for i in range(4)
+)
+_LSH_ANN_SQL = f"""
+    WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_EXPR} AS bucket FROM p),
+    hot AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > {_LSH_BUCKET_CAP}),
+    kept AS (
+      SELECT b.vec_id, b.v, b.bucket FROM b
+      LEFT JOIN hot h USING (bucket) WHERE h.bucket IS NULL
+    ), s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) *
+              sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM kept q JOIN kept c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    WHERE rank <= 5
+"""
+
+
+@register("similarity_lsh_ann_topk", _LSH_ANN_SQL)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, "vec_id", "embedding", _PLANES,
+        k=5, max_bucket_size=_LSH_BUCKET_CAP, query_ids=list(range(20)),
+    )
+
+
 _TOKS_SQL = """list_filter(
       string_split_regex(
         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),

@@ -243,3 +243,46 @@ def make_audio_row(i: int, n_samples: int = 16000, sample_rate: int = 16000,
         "sample_rate": sample_rate,
         "n_samples": n_samples,
     }
+
+
+def render_video(video_id: str, n_frames: int = 8, w: int = 32, h: int = 24) -> np.ndarray:
+    """Deterministic synthetic RGB frames for a video_id: a seeded
+    gradient with a per-frame moving bright square (so every frame is
+    distinct and motion is checkable). Pure function of (id, n, w, h) —
+    the video analog of render_image."""
+    i = int(video_id.split("_")[-1])
+    rng = np.random.RandomState(_u64("vid", i) % (2**31 - 1))
+    # smooth per-video gradient base (chroma-subsample-friendly, like
+    # real footage) with a random per-video color offset
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    off = rng.randint(0, 64, 3)
+    base = np.stack(
+        [
+            (xx * 191 // max(1, w - 1)) + off[0],
+            (yy * 191 // max(1, h - 1)) + off[1],
+            ((xx + yy) * 191 // max(2, w + h - 2)) + off[2],
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        fr = base.copy()
+        x = (i + 3 * f) % max(1, w - 8)
+        y = (i + 2 * f) % max(1, h - 8)
+        fr[y : y + 8, x : x + 8] = (230, 40 + (f * 13) % 200, 90)
+        frames[f] = fr
+    return frames
+
+
+def make_video_row(i: int, n_frames: int = 8, w: int = 32, h: int = 24,
+                   fps: int = 30, subsampling: str = "444") -> dict:
+    from .codecs import encode_y4m
+
+    video_id = f"video_{i:09d}"
+    frames = render_video(video_id, n_frames, w, h)
+    return {
+        "video_id": video_id,
+        "bytes": encode_y4m(frames, fps, subsampling),
+        "n_frames": n_frames,
+        "fps": fps,
+    }

@@ -6,12 +6,12 @@ The Spark-side plumbing is real and tested: schemas, Arrow-batched
 never cross a shuffle — derive features in the scan stage, project the
 binary column away immediately after).
 
-Codec reality in this container: our pure PNG codec + deterministic
-stub lossy codec (see ``codecs.py``). Where a real imaging/audio lib
-would be required (true JPEG/WebP, resampling kernels, audio frames),
-the decode step is STUBBED — clearly marked — behind the same batch
-interface, so swapping in Pillow/libjpeg/ffmpeg changes one function,
-not the dataflow.
+Codec reality in this container: pure-stdlib codecs throughout — PNG
+(real), deterministic stub lossy (JPEG/WebP shape), WAV/PCM16 (real),
+Y4M raw video (real). Formats that require native libraries (true
+JPEG/WebP, mp3/flac, h264/vp9) degrade per row to ``decode_ok=false``
+behind the same batch interface, so swapping in Pillow/libjpeg/ffmpeg
+changes one function, not the dataflow.
 """
 
 from __future__ import annotations
@@ -190,23 +190,67 @@ def audio_features(clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "
     ).mapInPandas(_audio_feature_batches, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video frame sampling requires ffmpeg. Plumbing only —
-    schema (video_id, frame_idx, frame_bytes), batch interface, and the
-    explode shape a real implementation returns."""
-    schema = T.StructType(
-        [
-            T.StructField("video_id", T.StringType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("frame_bytes", T.BinaryType(), True),
-        ]
-    )
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
 
+
+def _video_frame_batches(every_n: int):
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode backend not available in this container; "
-            "wire ffmpeg into sample_video_frames.batches"
-        )
-        yield  # pragma: no cover
+        from assetdatavalidationtool_spark.codecs import decode_y4m, encode_png
 
-    return videos.select("video_id", "bytes").mapInPandas(batches, schema)
+        cols = [f.name for f in VIDEO_FRAMES_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for video_id, data in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    frames, fps = decode_y4m(bytes(data))
+                    for idx in range(0, len(frames), every_n):
+                        rows.append(
+                            {
+                                "video_id": video_id,
+                                "frame_idx": idx,
+                                "frame_bytes": encode_png(frames[idx]),
+                                "n_frames": len(frames),
+                                "fps": fps,
+                                "decode_ok": True,
+                            }
+                        )
+                except Exception:
+                    # compressed codecs (h264/vp9 need ffmpeg, absent
+                    # here) and corrupt payloads degrade PER ROW — one
+                    # sentinel row, job keeps running (same discipline
+                    # as audio_features)
+                    rows.append(
+                        {
+                            "video_id": video_id, "frame_idx": -1,
+                            "frame_bytes": None, "n_frames": None,
+                            "fps": None, "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return batches
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame sampling for Y4M (YUV4MPEG2 — pure-stdlib codec,
+    ``codecs.decode_y4m``, C444/C420): every ``every_n``-th frame
+    re-encoded as PNG → (video_id, frame_idx, frame_bytes, n_frames,
+    fps, decode_ok). Arrow-batched ``mapInPandas``; video bytes are
+    consumed in the scan stage and never shuffled — only the (much
+    smaller) sampled frames flow downstream, where ``image_features``
+    / pixel rules consume them. Compressed containers degrade
+    ``decode_ok=false`` per row; wire ffmpeg into
+    ``_video_frame_batches`` to extend coverage without touching the
+    dataflow."""
+    return videos.select("video_id", "bytes").mapInPandas(
+        _video_frame_batches(every_n), VIDEO_FRAMES_SCHEMA
+    )
