@@ -286,3 +286,69 @@ def make_video_row(i: int, n_frames: int = 8, w: int = 32, h: int = 24,
         "n_frames": n_frames,
         "fps": fps,
     }
+
+
+def _make_clip_row(i: int, n_samples: int, sample_rate: int,
+                   corrupt: bool, clipped: bool, wrong_meta: bool) -> dict:
+    from .codecs import encode_wav
+
+    clip_id = f"clip_{i:09d}"
+    if corrupt:
+        return {"clip_id": clip_id, "bytes": b"\x00not audio\x00",
+                "sample_rate": sample_rate, "n_samples": n_samples}
+    samples = render_audio(clip_id, n_samples, sample_rate)
+    if clipped:
+        samples = (samples.astype(np.int32) * 4).clip(-32768, 32767).astype(np.int16)
+    return {
+        "clip_id": clip_id,
+        "bytes": encode_wav(samples, sample_rate),
+        "sample_rate": sample_rate,
+        "n_samples": n_samples + (1 if wrong_meta else 0),
+    }
+
+
+def generate_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    n_samples: int = 4000,
+    sample_rate: int = 16000,
+    corrupt_ids: int = 0,
+    clipped_ids: int = 0,
+    wrong_meta_ids: int = 0,
+) -> DataFrame:
+    """Distributed deterministic audio-clips table (WAV/PCM16) with
+    injected faults, all derived from row index — the audio analog of
+    generate_images. Fault layout (disjoint, exactly countable):
+
+    * rows [0, corrupt_ids)                          → undecodable bytes
+    * rows [corrupt_ids, corrupt_ids+clipped_ids)    → 4x-amplified
+      (rails clipped: reference mismatch AND clipping violations)
+    * next wrong_meta_ids rows                       → declared
+      n_samples off by one (metadata mismatch)
+    """
+    import pyspark.sql.types as T
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                rows.append(_make_clip_row(
+                    i, n_samples, sample_rate,
+                    corrupt=i < corrupt_ids,
+                    clipped=corrupt_ids <= i < corrupt_ids + clipped_ids,
+                    wrong_meta=(corrupt_ids + clipped_ids) <= i
+                    < (corrupt_ids + clipped_ids + wrong_meta_ids),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema)

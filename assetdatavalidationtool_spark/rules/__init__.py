@@ -8,6 +8,9 @@ Reference parity map (SURVEY.md §7.1):
 * ReferentialRule   ← MatchesAll / MissingByFile (Validator.cs:67-91)
 * RowInvariantRule  ← Conflicts/Deltas compare   (Validator.cs:93-142)
 * DriftRule         ← field-mapping score distributions (ReportGenerator.cs:170-205)
+* AudioInvariantRule ← RowInvariantRule's per-row compare applied to a
+  WAV-clips table (exact sample equality — the lossless counterpart of
+  the PSNR gate — plus metadata + clipping health)
 """
 
 from .base import RuleContext, RuleSet, VIOLATIONS_SCHEMA
@@ -17,6 +20,7 @@ from .uniqueness import UniquenessRule
 from .referential import ReferentialRule
 from .row_invariant import RowInvariantRule
 from .drift import DriftRule
+from .audio import AudioInvariantRule
 
 __all__ = [
     "RuleContext",
@@ -28,4 +32,5 @@ __all__ = [
     "ReferentialRule",
     "RowInvariantRule",
     "DriftRule",
+    "AudioInvariantRule",
 ]

@@ -178,3 +178,35 @@ def test_row_invariant_one_violation_per_failed_check(spark):
     checks = {r["image_id"]: r for r in rule.checks(ctx).collect()}
     assert checks[shape_bad["image_id"]]["psnr_db"] == -1.0
     assert checks[good["image_id"]]["psnr_db"] in (999.0,) or checks[good["image_id"]]["psnr_db"] >= 40.0
+
+
+def test_audio_invariant_rule_counts(spark):
+    """AudioInvariantRule over a faulted clips table: closed-form
+    violation counts. n=40 with 3 corrupt (decode), 4 clipped (ref
+    mismatch AND clipping -> 2 each), 5 wrong-meta (metadata) ->
+    3 + 8 + 5 = 16 violations; verdict sums match."""
+    from assetdatavalidationtool_spark.datagen import generate_clips
+    from assetdatavalidationtool_spark.rules import (
+        AudioInvariantRule,
+        RuleContext,
+        RuleSet,
+    )
+
+    clips = generate_clips(
+        spark, 40, partitions=2, n_samples=2000,
+        corrupt_ids=3, clipped_ids=4, wrong_meta_ids=5,
+    ).cache()
+    ctx = RuleContext(spark=spark, images=clips, num_buckets=8, key_col="clip_id")
+    res = RuleSet([AudioInvariantRule()]).run(ctx)
+    vio = res["violations"].collect()
+    def count(prefix):
+        return sum(1 for r in vio if r["detail"].startswith(prefix))
+
+    assert count("audio decode failed") == 3
+    assert count("sample mismatch vs reference") == 4
+    assert count("clipping frac=") == 4
+    assert count("declared metadata != decoded") == 5
+    assert len(vio) == 16
+    total = sum(r["violation_count"] for r in res["verdicts"].collect())
+    assert total == 16
+    res["violations"].unpersist()
