@@ -71,9 +71,9 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        # py4j maps scala BigInt to a Python int when it fits; str()
+        # covers both that and a raw JavaObject
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
         max_pb = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
         )

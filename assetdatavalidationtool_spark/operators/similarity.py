@@ -460,18 +460,24 @@ def train_ivf_centroids(
     oracle SQL). Empty cells keep their previous centroid. Deterministic
     for a given (seed, data)."""
     cents = ivf_centroids(dim, n_cells, seed)
+    # expression-heavy per-row work (n_cells x dim dots + posexplode):
+    # make sure a small single-row-group scan doesn't serialize it on
+    # one core (no-op at real scale — see spread_small_scan)
+    from .dedup import spread_small_scan
+
+    df = spread_small_scan(df.select(vec_col))
     for _ in range(n_iters):
-        if n_cells > 64:
-            # large quantizer: centroids as broadcast data (O(1) plan),
-            # same assignment semantics — see attach_cell
-            assigned = attach_cell(df.select(vec_col), vec_col, cents).select(
-                "cell", F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x")
-            )
-        else:
-            assigned = df.select(
-                _cell_expr(vec_col, cents).alias("cell"),
-                F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x"),
-            )
+        # assignment ALWAYS via the broadcast-data path here (even for
+        # small quantizers, where queries use the literal path): the
+        # centroids change every iteration, and as plan literals each
+        # iteration is a brand-new plan that Janino recompiles (~5 s of
+        # pure codegen per iteration, measured). As broadcast DATA the
+        # plan is bit-stable across iterations — compiled once, then
+        # ~1.5 s/iteration. Assignment semantics are identical
+        # (test_ivf_assign_join_matches_literal_path).
+        assigned = attach_cell(df, vec_col, cents).select(
+            "cell", F.posexplode(_dvec(F.col(vec_col))).alias("pos", "x")
+        )
         means = (
             assigned
             .groupBy("cell", "pos")

@@ -522,3 +522,31 @@ def test_train_ivf_large_quantizer_uses_join_path(spark):
         nrm = np.linalg.norm(m) or 1.0
         expect[c] = np.round(m / nrm, 6)
     np.testing.assert_allclose(np.array(got), expect, atol=2e-6)
+
+
+def test_spread_small_scan_uses_plan_stats_not_rdd(spark, tmp_path):
+    """A small single-row-group parquet scan is repartitioned up to
+    defaultParallelism; a table whose Catalyst size estimate spans
+    >= cores partitions is returned UNTOUCHED (no shuffle added, and no
+    df.rdd plan->RDD round trip — the estimate comes from plan stats)."""
+    from assetdatavalidationtool_spark.operators.dedup import spread_small_scan
+
+    p = str(tmp_path / "small")
+    spark.range(0, 1000).selectExpr("id", "repeat('x', 10) AS t").coalesce(
+        1
+    ).write.parquet(p)
+    small = spark.read.parquet(p)
+    out = spread_small_scan(small)
+    assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # a large-estimate input (maxPartitionBytes shrunk so the same file
+    # counts as many splits) must pass through with no added exchange
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+        big_est = spark.read.parquet(p)
+        out2 = spread_small_scan(big_est)
+        assert out2 is big_est
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
