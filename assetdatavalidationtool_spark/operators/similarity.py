@@ -258,20 +258,25 @@ def ivf_assign_join(
     )
 
 
-def attach_cell(
-    df: DataFrame, vec_col: str, centroids: list[list[float]] | DataFrame
-) -> DataFrame:
-    """All input columns + ``cell`` via the broadcast-join assignment
-    (see :func:`ivf_assign_join` for the physical-shape rationale)."""
-    spark = df.sparkSession
+def _centroids_one_row(spark, centroids: list[list[float]] | DataFrame) -> DataFrame:
+    """Centroid table collapsed to ONE broadcastable row holding
+    ``array<struct<cell,cv>>`` sorted by cell."""
     cents_df = (
         centroids
         if isinstance(centroids, DataFrame)
         else centroids_table(spark, centroids)
     )
-    one_row = cents_df.select(F.struct("cell", "cv").alias("s")).agg(
+    return cents_df.select(F.struct("cell", "cv").alias("s")).agg(
         F.array_sort(F.collect_list("s")).alias("_cents")
     )
+
+
+def attach_cell(
+    df: DataFrame, vec_col: str, centroids: list[list[float]] | DataFrame
+) -> DataFrame:
+    """All input columns + ``cell`` via the broadcast-join assignment
+    (see :func:`ivf_assign_join` for the physical-shape rationale)."""
+    one_row = _centroids_one_row(df.sparkSession, centroids)
     # each dot computed exactly once (transform), then argmax via
     # array_max over (d, -cell) structs: highest dot wins, ties go to
     # the LOWEST cell — identical semantics to `_cell_expr`'s
@@ -287,6 +292,33 @@ def attach_cell(
     return (
         df.crossJoin(F.broadcast(one_row))
         .withColumn("cell", best_cell)
+        .drop("_cents")
+    )
+
+
+def attach_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]] | DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """All input columns + ``probe_cells`` (array<int> of the n_probe
+    nearest cells by centroid dot product, ties → lower cell) via the
+    broadcast-data path — the O(1)-plan form of `_probe_cells_expr`
+    for quantizers too large to inline (same sort-of-(−dot, cell)
+    semantics, so n_probe=1 selects exactly `attach_cell`'s argmax)."""
+    one_row = _centroids_one_row(df.sparkSession, centroids)
+    cands = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (-_dot(F.col(vec_col), s["cv"])).alias("nd"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    picked = F.slice(F.array_sort(cands), 1, n_probe)
+    return (
+        df.crossJoin(F.broadcast(one_row))
+        .withColumn("probe_cells", F.transform(picked, lambda s: s["cell"]))
         .drop("_cents")
     )
 
@@ -350,23 +382,47 @@ def ivf_topk(
     * ``max_cell_size`` — drop CANDIDATE vectors in cells above the cap
       (broadcast anti-join). A mega-cell is a degenerate quantizer
       region whose pair join is |cell|²; queries assigned there still
-      probe their other n_probe−1 cells."""
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        _cell_expr(vec_col, centroids).alias("cell"),
-    )
+      probe their other n_probe−1 cells.
+
+    Quantizers over 64 cells route BOTH the corpus assignment and the
+    probe selection through the broadcast-data path (`attach_cell` /
+    `attach_probe_cells`) — plan size stays O(1) in n_cells; the
+    literal path below is for small coarse quantizers where the
+    inlined expressions codegen best."""
+    as_data = len(centroids) > 64
+    if as_data:
+        corpus = attach_cell(
+            df.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+            ),
+            "v",
+            centroids,
+        )
+    else:
+        corpus = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("v"),
+            _cell_expr(vec_col, centroids).alias("cell"),
+        )
     if max_cell_size is not None:
         corpus = _drop_hot_groups(corpus, ["cell"], max_cell_size)
 
     q = df
     if query_ids is not None:
         q = q.where(F.col(id_col).isin(query_ids))
-    probes = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q"),
-        F.explode(_probe_cells_expr(vec_col, centroids, n_probe)).alias("cell"),
-    )
+    if as_data:
+        probes = attach_probe_cells(
+            q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
+            "q",
+            centroids,
+            n_probe,
+        ).withColumn("cell", F.explode("probe_cells")).drop("probe_cells")
+    else:
+        probes = q.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q"),
+            F.explode(_probe_cells_expr(vec_col, centroids, n_probe)).alias("cell"),
+        )
 
     sims = (
         probes.join(corpus, "cell")

@@ -17,10 +17,13 @@ with SPARK_GRAFT_SCALING_CORES. Results land in
 BENCH/scaling_last.json and are summarized in BENCH/BASELINE.md.
 
 Noise protocol (both modes): this host sees multi-minute co-tenant
-load storms that inflate wall times 5-30x. Every timed unit is
-best-of-2 (with extra retries if every attempt's window was loaded),
-and /proc/loadavg is captured around each attempt and recorded in the
-JSON so an inflated record is detectable after the fact.
+storms that inflate wall times 5-30x — often with LOW guest loadavg,
+because hypervisor CPU steal doesn't run our threads. Every timed unit
+is best-of-2 (with extra retries while every attempt's window shows
+loadavg > LOAD_RETRY or steal > STEAL_RETRY), and both /proc/loadavg
+and the /proc/stat steal fraction are captured around each attempt and
+recorded in the JSON so an inflated record is detectable after the
+fact.
 """
 
 from __future__ import annotations
@@ -49,27 +52,57 @@ def loadavg_1m() -> float:
         return 0.0
 
 
+def cpu_counters() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat. Steal is the
+    TRUE co-tenant signal on this host: guest loadavg only counts our
+    own runnable threads, while hypervisor CPU steal (observed 4x+ wall
+    inflation) shows up exclusively here."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
+# steal fraction of total CPU above which a timing window counts as
+# storm-afflicted and the measurement is retried
+STEAL_RETRY = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "0.10"))
+
+
 def timed_best(run, attempts: int = 2, max_extra: int = 2) -> dict:
-    """Best-of-N timing with loadavg capture. ``run`` is a nullary that
-    executes the unit once. Returns wall time of the best attempt plus
-    the load window around it; retries (up to ``max_extra``) when every
-    attempt so far ran under co-tenant load > LOAD_RETRY."""
+    """Best-of-N timing with loadavg + CPU-steal capture. ``run`` is a
+    nullary that executes the unit once. Returns wall time of the best
+    attempt plus that attempt's load/steal window; retries (up to
+    ``max_extra``) when every attempt so far ran under co-tenant
+    pressure (loadavg > LOAD_RETRY or steal fraction > STEAL_RETRY)."""
     tries = []
     while True:
         l0 = loadavg_1m()
+        s0, c0 = cpu_counters()
         t0 = time.time()
         run()
         dt = time.time() - t0
         l1 = loadavg_1m()
-        tries.append({"sec": dt, "load_before": l0, "load_after": l1})
+        s1, c1 = cpu_counters()
+        steal = (s1 - s0) / max(1, c1 - c0)
+        tries.append(
+            {"sec": dt, "load": max(l0, l1), "steal_pct": round(100 * steal, 1)}
+        )
         done_min = len(tries) >= attempts
-        all_loaded = all(max(t["load_before"], t["load_after"]) > LOAD_RETRY for t in tries)
+        all_loaded = all(
+            t["load"] > LOAD_RETRY or t["steal_pct"] > 100 * STEAL_RETRY
+            for t in tries
+        )
         if done_min and (not all_loaded or len(tries) >= attempts + max_extra):
             break
     best = min(tries, key=lambda t: t["sec"])
     return {
         "sec": best["sec"],
-        "load": round(max(best["load_before"], best["load_after"]), 2),
+        "load": round(best["load"], 2),
+        "steal_pct": best["steal_pct"],
         "attempts": len(tries),
         "all_secs": [round(t["sec"], 3) for t in tries],
     }
@@ -203,22 +236,18 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
     warm_python_workers(spark)
     spark.read.parquet(img_path).agg(F.sum(F.length("bytes"))).collect()
     spark.read.parquet(cap_path).count()
-    best = None
-    all_walls = []
-    for _ in range(repeats):
-        l0 = loadavg_1m()
-        t0 = time.time()
-        stats = run_validation_pass(spark, img_path, cap_path)
-        wall = time.time() - t0
-        load = max(l0, loadavg_1m())
-        all_walls.append(round(wall, 3))
-        if best is None or wall < best[0]:
-            best = (wall, stats, load)
+    stats_box: dict = {}
+    r = timed_best(
+        lambda: stats_box.__setitem__(
+            "stats", run_validation_pass(spark, img_path, cap_path)
+        ),
+        attempts=repeats,
+    )
     spark.stop()
-    wall, stats, load = best
-    return {"cores": cores, "n_images": n, "wall_sec": wall,
-            "images_per_sec": n / wall, "load": round(load, 2),
-            "all_walls": all_walls, **stats}
+    return {"cores": cores, "n_images": n, "wall_sec": r["sec"],
+            "images_per_sec": n / r["sec"], "load": r["load"],
+            "steal_pct": r["steal_pct"], "attempts": r["attempts"],
+            "all_walls": r["all_secs"], **stats_box["stats"]}
 
 
 def scaling_mode() -> None:
@@ -352,11 +381,13 @@ def main() -> None:
     # round 2; best-of-2 + load annotation makes the record trustworthy
     # and an inflated window detectable.
     query_load: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     query_attempts: dict[str, int] = {}
     for name, cq in QUERIES.items():
         r = timed_best(lambda: cq.fn(spark, SF_DIR).collect())
         queries[name] = round(r["sec"], 3)
         query_load[name] = r["load"]
+        query_steal[name] = r["steal_pct"]
         query_attempts[name] = r["attempts"]
         total += r["sec"]
 
@@ -373,11 +404,15 @@ def main() -> None:
                 "image_pass_violations": stats["n_violations"],
                 "image_pass_cores": image_cores,
                 "image_pass_load": img_run.get("load"),
+                "image_pass_steal_pct": img_run.get("steal_pct"),
+                "image_pass_walls": img_run.get("all_walls"),
                 "query_cores": query_cores,
                 "cpus": CPUS,
-                "timing_protocol": "best-of-2 per query, retry if loadavg>"
-                f"{LOAD_RETRY:g} in every window",
+                "timing_protocol": "best-of-2 per query; retry while every "
+                f"window has loadavg>{LOAD_RETRY:g} or CPU steal>"
+                f"{100 * STEAL_RETRY:g}%",
                 "query_load_1m": query_load,
+                "query_steal_pct": query_steal,
                 "query_attempts": query_attempts,
             }
         )

@@ -550,3 +550,47 @@ def test_spread_small_scan_uses_plan_stats_not_rdd(spark, tmp_path):
         assert out2 is big_est
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ivf_topk_large_quantizer_join_path(spark):
+    """ivf_topk at n_cells>64 routes corpus assignment AND probe
+    selection through the broadcast-data path; probe_cells matches the
+    literal _probe_cells_expr semantics (verified via numpy: top-P
+    cells by dot desc, ties to lower cell), and the top-k result ranks
+    a planted near-duplicate first."""
+    import numpy as np
+
+    from assetdatavalidationtool_spark.operators.similarity import (
+        attach_probe_cells,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    dim, n_cells, n_vecs = 16, 96, 150
+    cents = ivf_centroids(dim, n_cells, seed=21)
+    rng = np.random.RandomState(13)
+    base = rng.randn(n_vecs, dim)
+    base[1] = base[0] + 0.001 * rng.randn(dim)  # planted near-dup of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    # probe selection parity vs numpy
+    got = {r["vec_id"]: list(r["probe_cells"])
+           for r in attach_probe_cells(df, "embedding", cents, 3).collect()}
+    dots = base.astype(np.float32).astype(np.float64) @ np.array(cents).T
+    for i in range(n_vecs):
+        order = sorted(range(n_cells), key=lambda c: (-dots[i][c], c))[:3]
+        assert got[i] == order
+
+    topk = ivf_topk(df, "vec_id", "embedding", cents, k=3, n_probe=3,
+                    query_ids=[0]).collect()
+    assert topk and topk[0]["neighbor_id"] == 1 and topk[0]["rank"] == 1
+
+    # no vector-side shuffle beyond the cell equi-join itself: the
+    # centroid attach on both sides is broadcast
+    out = ivf_topk(df, "vec_id", "embedding", cents, k=3, n_probe=2)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert final.count("BroadcastNestedLoopJoin") >= 2  # corpus + probes
