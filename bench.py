@@ -236,6 +236,30 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
     warm_python_workers(spark)
     spark.read.parquet(img_path).agg(F.sum(F.length("bytes"))).collect()
     spark.read.parquet(cap_path).count()
+    # REAL warm pass over a small slice (2 parquet files ≈ 5k images):
+    # the noop-UDF warm doesn't heat the actual decode path — JVM C2
+    # compilation of the vectorized parquet reader + codegen'd rule
+    # plan needs real iterations (measured on this job: cold first
+    # pass 313 s, after slice-warm 101 s, steady state 78 s at
+    # local[4]/160k). On a real cluster executors are long-lived and
+    # steady state is the honest metric.
+    import glob
+
+    ifiles = sorted(glob.glob(f"{img_path}/part-*"))[:2]
+    cfiles = sorted(glob.glob(f"{cap_path}/part-*"))[:2]
+    if ifiles and cfiles:
+        from assetdatavalidationtool_spark.rules import RuleContext
+
+        images_s = spark.read.parquet(*ifiles)
+        wctx = RuleContext(
+            spark=spark, images=images_s,
+            captions=spark.read.parquet(*cfiles),
+            num_buckets=max(cores * 4, 64), run_id="warm_slice",
+        )
+        wout = build_ruleset(spark, images_s).run(wctx)
+        wout["violations"].count()
+        wout["verdicts"].count()
+        wout["violations"].unpersist()
     stats_box: dict = {}
     r = timed_best(
         lambda: stats_box.__setitem__(
@@ -251,7 +275,7 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
 
 
 def scaling_mode() -> None:
-    """N vs 4N cores on the same input. Default pair is (2, 8): this VM
+    """N vs 4N cores on the same input. Default pair is (1, 4): this VM
     advertises 32 vCPUs but delivers ~10 effective cores (hypervisor
     overcommit, measured with a multiprocessing burn test), so 8→32
     cannot physically show 4x. Override with SPARK_GRAFT_SCALING_CORES."""
@@ -296,15 +320,35 @@ def scaling_mode() -> None:
     factor = pair[1] / pair[0]
     results = []
     rounds_out = []
-    for _ in range(rounds):
+    # a round is TAINTED when either leg's best attempt still ran under
+    # co-tenant pressure (steal fraction above STEAL_RETRY or loadavg
+    # above LOAD_RETRY); tainted rounds are kept in the record but
+    # excluded from the headline, and extra rounds run in their place
+    # (bounded) — an efficiency ratio between a quiet leg and a stormy
+    # leg measures the storm, not the engine.
+    max_rounds = rounds + int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "2"))
+    while True:
         r_lo = one(pair[0])
         r_hi = one(pair[1])
         results += [r_lo, r_hi]
         eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / factor
-        rounds_out.append({"lo": r_lo, "hi": r_hi, "efficiency": round(eff, 3)})
-        print(f"round efficiency: {eff:.3f}", file=sys.stderr)
-    effs = sorted(r["efficiency"] for r in rounds_out)
-    median_round = sorted(rounds_out, key=lambda r: r["efficiency"])[(len(rounds_out) - 1) // 2]
+        tainted = any(
+            r.get("steal_pct", 0) > 100 * STEAL_RETRY or r.get("load", 0) > LOAD_RETRY
+            for r in (r_lo, r_hi)
+        )
+        rounds_out.append(
+            {"lo": r_lo, "hi": r_hi, "efficiency": round(eff, 3), "tainted": tainted}
+        )
+        print(
+            f"round efficiency: {eff:.3f}{' (tainted)' if tainted else ''}",
+            file=sys.stderr,
+        )
+        clean = [r for r in rounds_out if not r["tainted"]]
+        if len(clean) >= rounds or len(rounds_out) >= max_rounds:
+            break
+    clean = [r for r in rounds_out if not r["tainted"]] or rounds_out
+    effs = sorted(r["efficiency"] for r in clean)
+    median_round = sorted(clean, key=lambda r: r["efficiency"])[(len(clean) - 1) // 2]
     report = {
         "n_images": n_scaling,
         "cores_lo": pair[0],
@@ -315,6 +359,10 @@ def scaling_mode() -> None:
         "efficiency_min": effs[0],
         "efficiency_max": effs[-1],
         "round_efficiencies": [r["efficiency"] for r in rounds_out],
+        "rounds_tainted": [r["tainted"] for r in rounds_out],
+        "headline_is": "median of untainted rounds (lower median; "
+        "tainted = a leg's best attempt saw steal>"
+        f"{100 * STEAL_RETRY:g}% or load>{LOAD_RETRY:g})",
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
