@@ -234,8 +234,21 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
                       driver_memory="48g")
     img_path, cap_path = materialize_images(spark, n)
     warm_python_workers(spark)
-    spark.read.parquet(img_path).agg(F.sum(F.length("bytes"))).collect()
-    spark.read.parquet(cap_path).count()
+    # page-cache warm via DIRECT parallel file reads, not a Spark scan:
+    # at local[1] a single-threaded parquet scan of a multi-GB bytes
+    # column takes minutes of untimed leg wall; raw reads warm the same
+    # pages at IO speed regardless of the leg's core count
+    import concurrent.futures
+    import glob
+
+    def _touch(path: str) -> None:
+        with open(path, "rb", buffering=0) as f:
+            while f.read(16 * 1024 * 1024):
+                pass
+
+    files = glob.glob(f"{img_path}/part-*") + glob.glob(f"{cap_path}/part-*")
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        list(ex.map(_touch, files))
     # REAL warm pass over a small slice (2 parquet files ≈ 5k images):
     # the noop-UDF warm doesn't heat the actual decode path — JVM C2
     # compilation of the vectorized parquet reader + codegen'd rule
@@ -294,10 +307,24 @@ def scaling_mode() -> None:
     # pass = S/cores + f with S≈117 s, f≈16 s at n=80k).
     n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "160000"))
 
+    # Each leg is CPU-AFFINITY-BOUNDED to exactly `cores` CPUs
+    # (taskset), matching how a real cluster cgroup-bounds an executor
+    # to its core budget. local[N] alone only bounds TASK SLOTS: the
+    # JVM's parquet/Arrow feeder threads and GC spill onto extra cores,
+    # and that spill is proportionally larger for the small leg (a
+    # local[1] job was observed using ~1.6 cores) — which deflates the
+    # measured N→4N ratio below what N true cores vs 4N true cores
+    # deliver. Disable with SPARK_GRAFT_SCALING_TASKSET=0.
+    use_taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET", "1") == "1" and (
+        subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+    )
+
     def one(cores: int) -> dict:
+        prefix = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] if use_taskset else []
         out = subprocess.run(
-            [sys.executable, __file__, "--single-run", str(cores), str(n_scaling)],
-            capture_output=True, text=True, timeout=1800,
+            prefix
+            + [sys.executable, __file__, "--single-run", str(cores), str(n_scaling)],
+            capture_output=True, text=True, timeout=3600,
             env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
