@@ -352,3 +352,62 @@ def generate_clips(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema)
+
+
+def generate_videos(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    n_frames: int = 8,
+    w: int = 32,
+    h: int = 24,
+    fps: int = 30,
+    corrupt_ids: int = 0,
+    wrong_content_ids: int = 0,
+    wrong_meta_ids: int = 0,
+) -> DataFrame:
+    """Distributed deterministic Y4M videos table with injected faults,
+    all derived from row index (disjoint, exactly countable):
+
+    * rows [0, corrupt)                      → undecodable bytes
+    * next wrong_content rows                → frames rendered from a
+      DIFFERENT video_id (frame-invariant violations)
+    * next wrong_meta rows                   → declared n_frames off by
+      one (metadata mismatch)
+    """
+    import pyspark.sql.types as T
+
+    from .codecs import encode_y4m
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    schema = T.StructType([
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                vid = f"video_{i:09d}"
+                if i < corrupt_ids:
+                    rows.append({"video_id": vid, "bytes": b"\x00not video\x00",
+                                 "n_frames": n_frames, "fps": fps})
+                    continue
+                render_id = vid
+                if corrupt_ids <= i < corrupt_ids + wrong_content_ids:
+                    render_id = f"video_{i + 1000000:09d}"  # wrong content
+                frames = render_video(render_id, n_frames, w, h)
+                declared = n_frames
+                lo = corrupt_ids + wrong_content_ids
+                if lo <= i < lo + wrong_meta_ids:
+                    declared = n_frames + 1
+                rows.append({"video_id": vid,
+                             "bytes": encode_y4m(frames, fps, "444"),
+                             "n_frames": declared, "fps": fps})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema)

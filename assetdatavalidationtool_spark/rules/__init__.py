@@ -11,6 +11,8 @@ Reference parity map (SURVEY.md §7.1):
 * AudioInvariantRule ← RowInvariantRule's per-row compare applied to a
   WAV-clips table (exact sample equality — the lossless counterpart of
   the PSNR gate — plus metadata + clipping health)
+* VideoInvariantRule ← the same compare applied to Y4M videos (sampled
+  frames vs reference rendering under a PSNR gate + header metadata)
 """
 
 from .base import RuleContext, RuleSet, VIOLATIONS_SCHEMA
@@ -21,6 +23,7 @@ from .referential import ReferentialRule
 from .row_invariant import RowInvariantRule
 from .drift import DriftRule
 from .audio import AudioInvariantRule
+from .video import VideoInvariantRule
 
 __all__ = [
     "RuleContext",
@@ -33,4 +36,5 @@ __all__ = [
     "RowInvariantRule",
     "DriftRule",
     "AudioInvariantRule",
+    "VideoInvariantRule",
 ]

@@ -210,3 +210,35 @@ def test_audio_invariant_rule_counts(spark):
     total = sum(r["violation_count"] for r in res["verdicts"].collect())
     assert total == 16
     res["violations"].unpersist()
+
+
+def test_video_invariant_rule_counts(spark):
+    """VideoInvariantRule over a faulted videos table: closed-form
+    counts. n=24 with 2 corrupt (decode), 3 wrong-content (frame
+    mismatch), 4 wrong-meta (metadata) -> 9 violations; clean rows
+    pass the C444 round-trip PSNR gate."""
+    from assetdatavalidationtool_spark.datagen import generate_videos
+    from assetdatavalidationtool_spark.rules import (
+        RuleContext,
+        RuleSet,
+        VideoInvariantRule,
+    )
+
+    vids = generate_videos(
+        spark, 24, partitions=2,
+        corrupt_ids=2, wrong_content_ids=3, wrong_meta_ids=4,
+    ).cache()
+    ctx = RuleContext(spark=spark, images=vids, num_buckets=8, key_col="video_id")
+    res = RuleSet([VideoInvariantRule(check_every_n=3)]).run(ctx)
+    vio = res["violations"].collect()
+
+    def count(prefix):
+        return sum(1 for r in vio if r["detail"].startswith(prefix))
+
+    assert count("video decode failed") == 2
+    assert count("frame mismatch min_psnr=") == 3
+    assert count("declared metadata != decoded") == 4
+    assert len(vio) == 9
+    total = sum(r["violation_count"] for r in res["verdicts"].collect())
+    assert total == 9
+    res["violations"].unpersist()
