@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 
 from assetdatavalidationtool_spark.manifest import ValidationRun
 from assetdatavalidationtool_spark.rules import (
+    AudioInvariantRule,
     DriftRule,
     ReferentialRule,
     RowInvariantRule,
     SchemaRule,
     StatsRule,
     UniquenessRule,
+    VideoInvariantRule,
 )
 from assetdatavalidationtool_spark.rules.schema import ColumnSpec
 from assetdatavalidationtool_spark.session import get_spark
@@ -58,6 +60,46 @@ def default_rules(fmt_reference: dict[str, float]) -> list:
     ]
 
 
+def audio_rules() -> list:
+    """Rule set for a WAV-clips table (clip_id, bytes, sample_rate,
+    n_samples) — run with --modality audio --key-col clip_id."""
+    return [
+        SchemaRule(
+            [
+                ColumnSpec("clip_id", "string", nullable=False),
+                ColumnSpec("bytes", "binary", nullable=False),
+                ColumnSpec("sample_rate", "int", nullable=False,
+                           domain=F.col("sample_rate").isin(8000, 16000, 22050, 44100, 48000)),
+                ColumnSpec("n_samples", "int", nullable=False,
+                           domain=F.col("n_samples") > 0),
+            ]
+        ),
+        UniquenessRule(["clip_id"]),
+        AudioInvariantRule(),
+        StatsRule(columns=["sample_rate", "n_samples"]),
+    ]
+
+
+def video_rules() -> list:
+    """Rule set for a Y4M-videos table (video_id, bytes, n_frames,
+    fps) — run with --modality video --key-col video_id."""
+    return [
+        SchemaRule(
+            [
+                ColumnSpec("video_id", "string", nullable=False),
+                ColumnSpec("bytes", "binary", nullable=False),
+                ColumnSpec("n_frames", "int", nullable=False,
+                           domain=F.col("n_frames") > 0),
+                ColumnSpec("fps", "int", nullable=False,
+                           domain=(F.col("fps") > 0) & (F.col("fps") <= 240)),
+            ]
+        ),
+        UniquenessRule(["video_id"]),
+        VideoInvariantRule(),
+        StatsRule(columns=["n_frames", "fps"]),
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
@@ -67,15 +109,29 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--fmt-reference", default='{"png":0.5,"jpeg":0.4,"webp":0.1}')
+    ap.add_argument("--modality", choices=["image", "audio", "video"],
+                    default="image",
+                    help="table shape: image+caption (default), WAV clips, "
+                    "or Y4M videos — picks the matching rule set")
+    ap.add_argument("--key-col", default=None,
+                    help="primary key column (defaults per modality)")
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores, app_name=f"validation_{args.run_id}")
     images = spark.read.parquet(args.images)
     captions = spark.read.parquet(args.captions) if args.captions else None
 
+    if args.modality == "audio":
+        rules, key_col = audio_rules(), args.key_col or "clip_id"
+    elif args.modality == "video":
+        rules, key_col = video_rules(), args.key_col or "video_id"
+    else:
+        rules = default_rules(json.loads(args.fmt_reference))
+        key_col = args.key_col or "image_id"
+
     run = ValidationRun(
-        spark, args.output, default_rules(json.loads(args.fmt_reference)),
-        num_buckets=args.num_buckets, run_id=args.run_id,
+        spark, args.output, rules,
+        num_buckets=args.num_buckets, run_id=args.run_id, key_col=key_col,
     )
     summary = run.run(images, captions)
 
