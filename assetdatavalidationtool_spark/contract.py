@@ -1231,7 +1231,8 @@ def _lloyd_iter_sql(prev: str, out: str) -> str:
     n_{out} AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM m_{out} GROUP BY cell),
     u_{out} AS (
       SELECT m.cell,
-             list(round(m.m / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END), 6)
+             list(floor((m.m / (CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END))
+                        * 1000000 + 0.5) / 1000000
                   ORDER BY m.pos) AS cv
       FROM m_{out} m JOIN n_{out} n USING (cell)
       GROUP BY m.cell, n.nrm
@@ -1386,3 +1387,104 @@ def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(F.col("c_name").rlike(_WC_PATTERN)).select(
         F.col("c_custkey").cast("string").alias("key"), "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine spine — RuleSet.run verdict aggregation (rules/base.py:86-152).
+# The one dataflow every user runs: rules -> violations union -> per-
+# (rule, bucket) verdict table with rows_scanned / violation_count /
+# pass. Reference analog: the run Summary counts
+# (/root/reference/src/Services/ReportGenerator.cs:43-45), upgraded to
+# partition grain. The oracle mirrors the whole spine in SQL; the only
+# engine-specific piece, the xxhash64 bucket, is swapped for a portable
+# modulo via RuleContext.bucket_expr (the injection point an Iceberg
+# partition transform would also use). Violations are planted
+# deterministically so both rule paths are non-trivially exercised:
+# duplicated image rows (o_orderkey % 1000 = 1), captions dropped
+# (l_orderkey % 500 = 3 -> "missing caption row"), and orphan captions
+# (l_orderkey % 701 = 0, shifted by +100000000 -> "missing image row").
+# ---------------------------------------------------------------------------
+_RULESET_SQL = """
+WITH img AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  WHERE o_orderkey % 1000 = 1
+),
+cap AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 500 <> 3
+  UNION ALL
+  SELECT CAST(l_orderkey + 100000000 AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 701 = 0
+),
+rows_per_bucket AS (
+  SELECT CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS rows_scanned
+  FROM img GROUP BY 1
+),
+dup_vio AS (
+  SELECT 'uniqueness(image_id)' AS rule,
+         CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (SELECT image_id FROM img GROUP BY image_id HAVING count(*) > 1)
+  GROUP BY 1, 2
+),
+ref_vio AS (
+  SELECT 'referential' AS rule,
+         CAST(k AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (
+    SELECT coalesce(i.image_id, c.image_id) AS k
+    FROM (SELECT DISTINCT image_id FROM img) i
+    FULL OUTER JOIN (SELECT DISTINCT image_id FROM cap) c
+      ON i.image_id = c.image_id
+    WHERE i.image_id IS NULL OR c.image_id IS NULL
+  )
+  GROUP BY 1, 2
+),
+vio AS (SELECT * FROM dup_vio UNION ALL SELECT * FROM ref_vio),
+rules AS (
+  SELECT 'uniqueness(image_id)' AS rule
+  UNION ALL SELECT 'referential' AS rule
+)
+SELECT 'contract' AS run_id,
+       r.rule,
+       b.bucket,
+       b.rows_scanned,
+       CAST(coalesce(v.violation_count, 0) AS BIGINT) AS violation_count,
+       coalesce(v.violation_count, 0) = 0 AS pass
+FROM rows_per_bucket b
+CROSS JOIN rules r
+LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
+"""
+
+
+@register("ruleset_verdicts", _RULESET_SQL)
+def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rules import ReferentialRule, RuleContext, RuleSet, UniquenessRule
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("image_id")
+    )
+    images = orders.unionAll(
+        orders.where(F.col("image_id").cast("bigint") % 1000 == 1)
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("k")
+    )
+    captions = (
+        li.where(F.col("k") % 500 != 3)
+        .unionAll(li.where(F.col("k") % 701 == 0).select((F.col("k") + 100000000).alias("k")))
+        .select(F.col("k").cast("string").alias("image_id"))
+    )
+    ctx = RuleContext(
+        spark=spark,
+        images=images,
+        captions=captions,
+        num_buckets=16,
+        run_id="contract",
+        bucket_expr=lambda c: F.pmod(c.cast("long"), F.lit(16)),
+    )
+    rs = RuleSet([UniquenessRule(["image_id"]), ReferentialRule()])
+    return rs.run(ctx, persist=False)["verdicts"]

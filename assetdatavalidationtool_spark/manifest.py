@@ -38,7 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .rules.base import Rule, RuleContext, bucket_col
+from .rules.base import Rule, RuleContext
 
 MANIFEST_SCHEMA = (
     "run_id string, rule string, bucket long, status string, "
@@ -47,11 +47,22 @@ MANIFEST_SCHEMA = (
 
 ALIGNED_RULE_PREFIXES = ("schema", "row_invariant", "referential")
 
+# Per-row modality rules that bucket their violations by a fixed key
+# column of their table (rules/audio.py, rules/video.py use
+# pmod(xxhash64(<id>), num_buckets) exactly like bucket_col). They are
+# bucket-aligned whenever the run's key_col IS that column — then a
+# resume re-decodes only the missing buckets instead of the whole
+# clips/videos table.
+FIXED_KEY_ALIGNED = {"audio_invariant": "clip_id", "video_invariant": "video_id"}
+
 
 def rule_is_bucket_aligned(rule: Rule, ctx: RuleContext) -> bool:
     name = rule.name
     if name.startswith(ALIGNED_RULE_PREFIXES):
         return True
+    for prefix, key in FIXED_KEY_ALIGNED.items():
+        if name.startswith(prefix):
+            return ctx.key_col == key
     if name.startswith("uniqueness("):
         keys = name[len("uniqueness(") : -1].split(",")
         return keys == [ctx.key_col]
@@ -105,8 +116,37 @@ class ValidationRun:
         return done
 
     def _append_manifest(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
-        df.write.mode("append").parquet(self._manifest_path())
+        """Atomically publish a manifest batch (Iceberg-snapshot-style).
+
+        A plain ``mode("append")`` job commit moves task files one by
+        one, so a crash mid-commit can leave a concurrent resume
+        reading a torn batch. Instead: write the batch as ONE parquet
+        file to a staging dir, then ``os.rename`` it into ``manifest/``
+        — rename is atomic on POSIX, so readers see the whole batch or
+        none of it. (On an object store this seam is where an Iceberg
+        snapshot commit swaps in; the layout and latest-seq-wins
+        semantics are unchanged.) If the manifest path is not a local
+        filesystem path, fall back to the plain append.
+        """
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1)
+        mpath = self._manifest_path()
+        if "://" in mpath and not mpath.startswith("file://"):
+            df.write.mode("append").parquet(mpath)
+            return
+        mdir = mpath[len("file://"):] if mpath.startswith("file://") else mpath
+        batch = uuid.uuid4().hex
+        staging = f"{os.path.dirname(mdir)}/.manifest_staging/{batch}"
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(mdir, exist_ok=True)
+        files = sorted(glob.glob(f"{staging}/*.parquet"))
+        assert len(files) == 1, f"expected one staged manifest file, got {files}"
+        os.rename(files[0], f"{mdir}/batch-{batch}.parquet")
+        shutil.rmtree(staging, ignore_errors=True)
 
     # -- execution ---------------------------------------------------------
     def run(self, images: DataFrame, captions: DataFrame | None = None) -> dict:
@@ -175,10 +215,10 @@ class ValidationRun:
             return ctx
         blist = sorted(todo)
         f_img = ctx.images.where(
-            bucket_col(ctx.key_col, self.num_buckets).isin(blist)
+            ctx.bucket_of(F.col(ctx.key_col)).isin(blist)
         )
         f_cap = (
-            ctx.captions.where(bucket_col(ctx.key_col, self.num_buckets).isin(blist))
+            ctx.captions.where(ctx.bucket_of(F.col(ctx.key_col)).isin(blist))
             if ctx.captions is not None
             else None
         )

@@ -547,6 +547,18 @@ def train_ivf_centroids(
         for cell, comps in by_cell.items():
             vec = np.array([comps.get(p, 0.0) for p in range(dim)])
             nrm = float(np.linalg.norm(vec)) or 1.0
-            new_cents[cell] = [round(float(x / nrm), 6) for x in vec]
+            # quantize with floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
+            # Python round() is banker's rounding while DuckDB round()
+            # is half-away-from-zero, so the oracle mirrors this exact
+            # IEEE-double formulation (contract.py _lloyd_iter_sql) and
+            # both engines carry bit-identical centroids into the next
+            # iteration. Residual risk (accepted, documented): a
+            # last-ulp difference in the engines' AVG accumulation
+            # order can still straddle a quantization boundary; with
+            # 6-decimal cells on unit-norm data the window is ~1e-10
+            # per component and has never been observed in testing.
+            new_cents[cell] = [
+                float(np.floor(x / nrm * 1e6 + 0.5) / 1e6) for x in vec
+            ]
         cents = new_cents
     return cents

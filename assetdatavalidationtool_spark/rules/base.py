@@ -44,9 +44,21 @@ class RuleContext:
     run_id: str = "run_0"
     key_col: str = "image_id"
     extras: dict = field(default_factory=dict)
+    # Optional override mapping a key Column -> bucket Column. Default
+    # (None) is pmod(xxhash64(key), num_buckets). Injectable so a
+    # deployment can bucket by e.g. an Iceberg partition transform, and
+    # so the contract oracle can use a portable modulo that DuckDB can
+    # mirror (xxhash64 is Spark-only). Every rule must route its bucket
+    # through ``bucket_of`` — never call xxhash64 directly.
+    bucket_expr: object | None = None
+
+    def bucket_of(self, col: F.Column) -> F.Column:
+        if self.bucket_expr is not None:
+            return self.bucket_expr(col).cast("long")
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("long")
 
     def with_bucket(self, df: DataFrame, key: str | None = None) -> DataFrame:
-        return df.withColumn("bucket", bucket_col(key or self.key_col, self.num_buckets))
+        return df.withColumn("bucket", self.bucket_of(F.col(key or self.key_col)))
 
     def empty_violations(self) -> DataFrame:
         return self.spark.createDataFrame([], VIOLATIONS_SCHEMA)

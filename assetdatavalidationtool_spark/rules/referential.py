@@ -59,7 +59,5 @@ class ReferentialRule(Rule):
             F.col(k).cast("string").alias("key"),
             F.lit(k).alias("column"),
             detail.alias("detail"),
-            F.pmod(F.xxhash64(F.col(k)), F.lit(ctx.num_buckets))
-            .cast("long")
-            .alias("bucket"),
+            ctx.bucket_of(F.col(k)).alias("bucket"),
         )

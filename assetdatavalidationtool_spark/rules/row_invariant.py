@@ -134,7 +134,5 @@ class RowInvariantRule(Rule):
             F.col("image_id").alias("key"),
             F.col("f.column").alias("column"),
             F.col("f.detail").alias("detail"),
-            F.pmod(F.xxhash64(F.col("image_id")), F.lit(ctx.num_buckets))
-            .cast("long")
-            .alias("bucket"),
+            ctx.bucket_of(F.col("image_id")).alias("bucket"),
         )

@@ -46,21 +46,19 @@ class UniquenessRule(Rule):
         return df.groupBy(*self.key_columns).agg(F.count("*").alias("cnt"))
 
     def violations(self, ctx: RuleContext) -> DataFrame:
-        from .base import bucket_col
-
         dups = self._dup_counts(ctx).where(F.col("cnt") > 1)
         key_expr = F.concat_ws("|", *[F.col(c).cast("string") for c in self.key_columns])
         # bucket alignment with resume/verdicts: when the rule key IS the
-        # context key, use the SHARED bucket_col expression (raw column)
-        # — hashing the string-cast concat instead only coincides for
-        # string keys, and a divergent bucket makes bucket-grain resume
-        # skip/recompute the wrong buckets. Multi-/other-column keys
-        # can't align to image buckets (a dup group spans arbitrary
+        # context key, use the SHARED ctx.bucket_of expression (raw
+        # column) — hashing the string-cast concat instead only coincides
+        # for string keys, and a divergent bucket makes bucket-grain
+        # resume skip/recompute the wrong buckets. Multi-/other-column
+        # keys can't align to image buckets (a dup group spans arbitrary
         # image_ids), so they hash their own composite key.
         if self.key_columns == [ctx.key_col]:
-            bucket = bucket_col(ctx.key_col, ctx.num_buckets)
+            bucket = ctx.bucket_of(F.col(ctx.key_col))
         else:
-            bucket = F.pmod(F.xxhash64(key_expr), F.lit(ctx.num_buckets)).cast("long")
+            bucket = ctx.bucket_of(key_expr)
         return dups.select(
             F.lit(self.name).alias("rule"),
             key_expr.alias("key"),

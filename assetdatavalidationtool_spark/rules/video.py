@@ -7,9 +7,12 @@ the Y4M container per row in an Arrow batch, check declared metadata
 against the parsed header, and compare SAMPLED frames against the
 deterministic reference rendering (``datagen.render_video`` is a pure
 function of video_id, regenerated on the executor). Frame comparison
-uses the PSNR >= 40 dB gate: the C444 round trip is ±1/channel
-(>50 dB), C420 chroma subsampling lands ~30-40 dB on smooth content,
-and a corrupted or wrong-content frame falls far below. Sampling every
+gates at PSNR >= 25 dB (``PSNR_GATE_DB``), NOT the 40 dB gate the
+input_hint prescribes for lossy *images* (that gate lives in
+RowInvariantRule): the C444 round trip is ±1/channel (>50 dB), but
+C420 chroma subsampling is legitimate encoding loss that lands
+~30-40 dB on smooth content and can dip below 40 on sharp edges,
+while a corrupted or wrong-content frame falls far below 25. Sampling every
 ``check_every_n``-th frame keeps per-row cost bounded — at 10^12 rows
 nobody re-verifies every frame of every clip; the invariant is a
 statistical gate, and the stride is deterministic so violations are
@@ -44,7 +47,10 @@ VIDEO_CHECK_SCHEMA = T.StructType(
     ]
 )
 
-PSNR_GATE_DB = 25.0  # C420 chroma averaging is legitimate encoding loss
+# Sampled-frame gate. Deliberately below the 40 dB image gate
+# (row_invariant.py): C420 chroma averaging is legitimate encoding
+# loss on video frames; 25 dB separates encoding loss from corruption.
+PSNR_GATE_DB = 25.0
 
 
 def _video_check_batches(check_every_n: int):
@@ -74,19 +80,34 @@ def _video_check_batches(check_every_n: int):
                 if not frames:
                     frames_ok[j] = False
                     continue
-                h, w = frames[0].shape[:2]
-                ref = render_video(ids[j], len(frames), w, h).astype(np.float64)
-                worst = float("inf")
-                for idx in range(0, len(frames), check_every_n):
-                    got = frames[idx].astype(np.float64)
-                    if got.shape != ref[idx].shape:
-                        worst = -1.0
-                        break
-                    mse = ((got - ref[idx]) ** 2).mean()
-                    p = 999.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
-                    worst = min(worst, p)
-                min_psnr[j] = -1.0 if worst == float("inf") else round(worst, 2)
-                frames_ok[j] = bool(worst >= PSNR_GATE_DB)
+                try:
+                    # render_video parses the numeric suffix of
+                    # video_id; a decodable row with an unexpected id
+                    # must degrade to a per-row violation, not fail
+                    # the Spark task.
+                    h, w = frames[0].shape[:2]
+                    ref = render_video(ids[j], len(frames), w, h).astype(
+                        np.float64
+                    )
+                    worst = float("inf")
+                    for idx in range(0, len(frames), check_every_n):
+                        got = frames[idx].astype(np.float64)
+                        if got.shape != ref[idx].shape:
+                            worst = -1.0
+                            break
+                        mse = ((got - ref[idx]) ** 2).mean()
+                        p = (
+                            999.0
+                            if mse == 0
+                            else 10 * np.log10(255.0**2 / mse)
+                        )
+                        worst = min(worst, p)
+                    min_psnr[j] = (
+                        -1.0 if worst == float("inf") else round(worst, 2)
+                    )
+                    frames_ok[j] = bool(worst >= PSNR_GATE_DB)
+                except Exception:
+                    frames_ok[j] = False
             yield pd.DataFrame(
                 {
                     "video_id": ids,
@@ -135,7 +156,12 @@ class VideoInvariantRule(Rule):
                         F.lit("bytes").alias("column"),
                         F.concat(
                             F.lit("frame mismatch min_psnr="),
-                            F.col("min_psnr_db").cast("string"),
+                            # null when the reference render itself
+                            # failed (e.g. unparseable video_id)
+                            F.coalesce(
+                                F.col("min_psnr_db").cast("string"),
+                                F.lit("n/a"),
+                            ),
                         ).alias("detail"),
                     ),
                 ),
@@ -146,7 +172,5 @@ class VideoInvariantRule(Rule):
             F.col("video_id").alias("key"),
             F.col("f.column").alias("column"),
             F.col("f.detail").alias("detail"),
-            F.pmod(F.xxhash64(F.col("video_id")), F.lit(ctx.num_buckets))
-            .cast("long")
-            .alias("bucket"),
+            ctx.bucket_of(F.col("video_id")).alias("bucket"),
         )

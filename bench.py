@@ -36,7 +36,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "10000"))
+# Headline input size: 40k images puts the pass well past the ~16 s of
+# input-independent per-pass overhead (AQE scheduling, Catalyst
+# analysis, drift/stats collect jobs) that dominates at 10k and made
+# the r03 headline noise-sensitive (VERDICT r03 #5) — at 40k the img/s
+# number reflects kernel throughput, not scheduling.
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "40000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
 # 1-min loadavg above which a timing window counts as "loaded" and the
 # measurement is retried. Our own local[8] query session contributes
@@ -307,15 +312,17 @@ def scaling_mode() -> None:
     # pass = S/cores + f with S≈117 s, f≈16 s at n=80k).
     n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "160000"))
 
-    # Each leg is CPU-AFFINITY-BOUNDED to exactly `cores` CPUs
-    # (taskset), matching how a real cluster cgroup-bounds an executor
-    # to its core budget. local[N] alone only bounds TASK SLOTS: the
-    # JVM's parquet/Arrow feeder threads and GC spill onto extra cores,
-    # and that spill is proportionally larger for the small leg (a
-    # local[1] job was observed using ~1.6 cores) — which deflates the
-    # measured N→4N ratio below what N true cores vs 4N true cores
-    # deliver. Disable with SPARK_GRAFT_SCALING_TASKSET=0.
-    use_taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET", "1") == "1" and (
+    # Legs run UNPINNED by default (SPARK_GRAFT_SCALING_TASKSET=1 to
+    # opt in to taskset -c 0..N-1). Pinning was tried as a
+    # cgroup-executor proxy and measured WORSE (efficiency 0.305, r03):
+    # on an overcommitted host a pinned vcpu cannot migrate away from
+    # co-tenant contention, so affinity measures the neighbors, not the
+    # engine. The r03 headline (0.806, BENCH/scaling_last.json) was
+    # measured unpinned. Trade-off acknowledged: unpinned, the small
+    # leg's JVM feeder/GC threads spill onto extra cores (a local[1]
+    # job was observed using ~1.6 cores), which slightly UNDERSTATES
+    # the N→4N ratio — the conservative direction.
+    use_taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET", "0") == "1" and (
         subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
     )
 
@@ -373,7 +380,8 @@ def scaling_mode() -> None:
         clean = [r for r in rounds_out if not r["tainted"]]
         if len(clean) >= rounds or len(rounds_out) >= max_rounds:
             break
-    clean = [r for r in rounds_out if not r["tainted"]] or rounds_out
+    untainted = [r for r in rounds_out if not r["tainted"]]
+    clean = untainted or rounds_out
     effs = sorted(r["efficiency"] for r in clean)
     median_round = sorted(clean, key=lambda r: r["efficiency"])[(len(clean) - 1) // 2]
     report = {
@@ -387,8 +395,16 @@ def scaling_mode() -> None:
         "efficiency_max": effs[-1],
         "round_efficiencies": [r["efficiency"] for r in rounds_out],
         "rounds_tainted": [r["tainted"] for r in rounds_out],
-        "headline_is": "median of untainted rounds (lower median; "
-        "tainted = a leg's best attempt saw steal>"
+        # when every round is tainted the headline falls back to the
+        # tainted set — say so instead of mislabeling it clean
+        "headline_tainted": not untainted,
+        "headline_is": (
+            "median of untainted rounds"
+            if untainted
+            else "median of TAINTED rounds (no untainted round available "
+            "within the round budget — treat as storm-afflicted)"
+        )
+        + " (lower median; tainted = a leg's best attempt saw steal>"
         f"{100 * STEAL_RETRY:g}% or load>{LOAD_RETRY:g})",
     }
     print(json.dumps(report))
@@ -466,9 +482,7 @@ def main() -> None:
         query_attempts[name] = r["attempts"]
         total += r["sec"]
 
-    print(
-        json.dumps(
-            {
+    record = {
                 "metric": "bench_suite_total",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -489,9 +503,20 @@ def main() -> None:
                 "query_load_1m": query_load,
                 "query_steal_pct": query_steal,
                 "query_attempts": query_attempts,
-            }
-        )
-    )
+    }
+    print(json.dumps(record))
+    # Persist the FULL record in-repo (VERDICT r03 #1): the driver
+    # archives only a ~2KB tail of stdout, which truncated the r03
+    # record to "parsed": null. BENCH/bench_last.json is the durable
+    # copy any headline claim in BENCH/BASELINE.md must cite (the
+    # scaling mode already persists BENCH/scaling_last.json).
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "bench_last.json"), "w"
+    ) as f:
+        json.dump(record, f, indent=2)
 
 
 if __name__ == "__main__":

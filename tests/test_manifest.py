@@ -109,3 +109,67 @@ def test_bucket_grain_resume(spark, data, tmp_path_factory):
     s = r2.run(images, captions)
     assert s["rules_run"] == 1 and s["buckets_skipped"] == 4
     assert _vio_set(r2) == before
+
+
+def test_crash_before_manifest_append_resumes_without_double_count(
+    spark, data, tmp_path_factory
+):
+    """Interrupt a run AFTER a rule's violations are written but BEFORE
+    its manifest batch is published (the torn window VERDICT r03 #6
+    names). The resume must recompute that rule and, because results are
+    keyed by (run_id, rule, bucket) with dynamic partition overwrite,
+    end with exactly the fresh-run violations — no double-count."""
+    import glob
+    import os
+
+    out = str(tmp_path_factory.mktemp("run_crash"))
+    images, captions = data
+
+    class Crashes(ValidationRun):
+        def _append_manifest(self, rows):
+            raise RuntimeError("simulated crash before manifest publish")
+
+    crashed = Crashes(spark, out, make_rules()[:2], num_buckets=8, run_id="rZ")
+    with pytest.raises(RuntimeError):
+        crashed.run(images, captions)
+    # violations for rule 1 are on disk, but no manifest batch exists
+    assert crashed.read_manifest() is None
+
+    resumed = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="rZ")
+    s = resumed.run(images, captions)
+    assert s["rules_skipped"] == 0  # nothing was checkpointed -> all rerun
+
+    fresh = ValidationRun(
+        spark, str(tmp_path_factory.mktemp("run_fresh")), make_rules(),
+        num_buckets=8, run_id="rZ",
+    )
+    fresh.run(images, captions)
+    assert _vio_set(resumed) == _vio_set(fresh)
+    assert resumed.violations().count() == fresh.violations().count()  # no dupes
+
+    # atomic publish: manifest dir holds only whole batch files, no
+    # staging/_temporary residue anywhere under the output dir
+    files = os.listdir(f"{out}/manifest")
+    assert files and all(f.startswith("batch-") and f.endswith(".parquet") for f in files)
+    assert not glob.glob(f"{out}/**/.manifest_staging/*", recursive=True)
+    assert not glob.glob(f"{out}/manifest/_temporary*")
+
+
+def test_audio_video_rules_are_bucket_aligned():
+    """ADVICE r03: audio/video invariant rules bucket by their fixed id
+    column, so they resume at bucket grain iff the run's key_col is that
+    column (otherwise the bucket filter would not align)."""
+    from assetdatavalidationtool_spark.manifest import rule_is_bucket_aligned
+    from assetdatavalidationtool_spark.rules import (
+        AudioInvariantRule,
+        RuleContext,
+        VideoInvariantRule,
+    )
+
+    def ctx(key):
+        return RuleContext(spark=None, images=None, key_col=key)
+
+    assert rule_is_bucket_aligned(AudioInvariantRule(), ctx("clip_id"))
+    assert rule_is_bucket_aligned(VideoInvariantRule(), ctx("video_id"))
+    assert not rule_is_bucket_aligned(AudioInvariantRule(), ctx("image_id"))
+    assert not rule_is_bucket_aligned(VideoInvariantRule(), ctx("clip_id"))

@@ -242,3 +242,42 @@ def test_video_invariant_rule_counts(spark):
     total = sum(r["violation_count"] for r in res["verdicts"].collect())
     assert total == 9
     res["violations"].unpersist()
+
+
+def test_audio_video_bad_id_degrades_per_row(spark):
+    """A decodable row whose id lacks the numeric suffix the reference
+    renderer expects must emit a per-row reference violation, not fail
+    the Spark task (ADVICE r03: id parse was outside the per-row try)."""
+    from pyspark.sql import functions as F
+
+    from assetdatavalidationtool_spark.datagen import generate_clips, generate_videos
+    from assetdatavalidationtool_spark.rules import (
+        AudioInvariantRule,
+        RuleContext,
+        RuleSet,
+        VideoInvariantRule,
+    )
+
+    clips = generate_clips(spark, 6, partitions=1, n_samples=500).withColumn(
+        "clip_id",
+        F.when(F.col("clip_id") == "clip_000000002", "clip_renamed").otherwise(
+            F.col("clip_id")
+        ),
+    )
+    ctx = RuleContext(spark=spark, images=clips, num_buckets=4, key_col="clip_id")
+    vio = RuleSet([AudioInvariantRule()]).run(ctx, persist=False)["violations"].collect()
+    assert [(r["key"], r["detail"]) for r in vio] == [
+        ("clip_renamed", "sample mismatch vs reference")
+    ]
+
+    vids = generate_videos(spark, 4, partitions=1, n_frames=4, w=16, h=12).withColumn(
+        "video_id",
+        F.when(F.col("video_id") == "video_000000001", "video_renamed").otherwise(
+            F.col("video_id")
+        ),
+    )
+    vctx = RuleContext(spark=spark, images=vids, num_buckets=4, key_col="video_id")
+    vvio = RuleSet([VideoInvariantRule()]).run(vctx, persist=False)["violations"].collect()
+    assert [(r["key"], r["detail"][:20]) for r in vvio] == [
+        ("video_renamed", "frame mismatch min_p")
+    ]
