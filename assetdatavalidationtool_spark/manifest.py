@@ -11,6 +11,8 @@ format-agnostic):
 
     violations/run_id=<run>/rule=<rule>/bucket=<b>/*.parquet
     verdicts/run_id=<run>/rule=<rule>/bucket=<b>/*.parquet
+    metrics/run_id=<run>/rule=<rule>/*.parquet   (rule-level stats /
+                          drift sketches: metric, column, value)
     manifest/*.parquet   (append-only: run_id, rule, bucket, status,
                           rows_scanned, violation_count, wall_sec)
 
@@ -184,6 +186,17 @@ class ValidationRun:
             self._write_partitioned(vio, rule.name)
             verd = self._verdicts(rule_ctx, rule, vio, aligned)
             self._write_partitioned(verd, rule.name, kind="verdicts")
+            # north_rule: the checkpoint layout carries stats metrics.
+            # Metrics describe the WHOLE table, so they are computed on
+            # the unfiltered ctx even for a bucket-filtered resume, and
+            # written with overwrite — recomputing them is idempotent.
+            # (A crash before the manifest append reruns the rule and
+            # simply overwrites identical metrics.)
+            m = rule.metrics(ctx)
+            if m is not None:
+                m.select("metric", "column", F.col("value").cast("double")).write.mode(
+                    "overwrite"
+                ).parquet(f"{self.out}/metrics/run_id={self.run_id}/rule={rule.name}")
             rows = [
                 (
                     self.run_id,
@@ -269,4 +282,12 @@ class ValidationRun:
     def verdicts(self) -> DataFrame:
         return self.spark.read.option("basePath", f"{self.out}/verdicts").parquet(
             f"{self.out}/verdicts/run_id={self.run_id}"
+        )
+
+    def metrics(self) -> DataFrame:
+        """(rule, metric, column, value) for rules that emit metrics
+        (stats sketches, drift scores); empty-pattern read raises if no
+        rule in the run produced metrics."""
+        return self.spark.read.option("basePath", f"{self.out}/metrics").parquet(
+            f"{self.out}/metrics/run_id={self.run_id}"
         )

@@ -129,3 +129,34 @@ def snapshot_reference(df: DataFrame, column: str, kind: str, lo: float = 0.0,
     hist = histogram(df, column, kind, lo, hi, bins).collect()
     total = sum(r["cnt"] for r in hist) or 1
     return {r["bin"]: r["cnt"] / total for r in hist}
+
+
+def persist_snapshot(
+    spark,
+    snapshot: dict[str, float],
+    output_dir: str,
+    run_id: str,
+    column: str,
+) -> str:
+    """Persist a reference distribution into a run's metrics layout
+    (``metrics/run_id=<run>/rule=snapshot(<column>)``, rows
+    ``(metric='frac', column=<bin>, value=<fraction>)``) so the NEXT
+    run can drift-check against this run's recorded distribution — the
+    validate-against-last-known-good workflow a 100 TB pipeline runs
+    nightly. Tiny data (num_bins rows): written as one file."""
+    path = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}/rule=snapshot({column})"
+    rows = [("frac", b, float(f)) for b, f in sorted(snapshot.items())]
+    spark.createDataFrame(
+        rows, "metric string, column string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_snapshot(spark, output_dir: str, run_id: str, column: str) -> dict[str, float]:
+    """Read back a snapshot persisted by ``persist_snapshot`` as the
+    ``reference=`` dict for a DriftRule in a later run."""
+    path = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}/rule=snapshot({column})"
+    return {
+        r["column"]: r["value"]
+        for r in spark.read.parquet(path).where(F.col("metric") == "frac").collect()
+    }

@@ -36,12 +36,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Headline input size: 40k images puts the pass well past the ~16 s of
+# Headline input size: 80k images puts the pass well past the ~16 s of
 # input-independent per-pass overhead (AQE scheduling, Catalyst
-# analysis, drift/stats collect jobs) that dominates at 10k and made
-# the r03 headline noise-sensitive (VERDICT r03 #5) — at 40k the img/s
-# number reflects kernel throughput, not scheduling.
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "40000"))
+# analysis, drift/stats collect jobs) that dominated at the old 10k
+# default and made the r03 headline noise-sensitive (VERDICT r03 #5) —
+# at 80k the img/s number reflects kernel throughput, not scheduling.
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "80000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
 # 1-min loadavg above which a timing window counts as "loaded" and the
 # measurement is retried. Our own local[8] query session contributes

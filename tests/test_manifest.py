@@ -173,3 +173,65 @@ def test_audio_video_rules_are_bucket_aligned():
     assert rule_is_bucket_aligned(VideoInvariantRule(), ctx("video_id"))
     assert not rule_is_bucket_aligned(AudioInvariantRule(), ctx("image_id"))
     assert not rule_is_bucket_aligned(VideoInvariantRule(), ctx("clip_id"))
+
+
+def test_metrics_persisted_in_run_layout(spark, data, tmp_path_factory):
+    """north_rule: the checkpoint layout carries stats metrics. Rules
+    with metrics (stats sketches, drift scores) land under
+    metrics/run_id=<run>/rule=<rule> and are re-readable; a completed
+    resume leaves them intact."""
+    from assetdatavalidationtool_spark.rules import StatsRule
+
+    out = str(tmp_path_factory.mktemp("run_metrics"))
+    images, captions = data
+    rules = make_rules() + [StatsRule(columns=["w", "fmt"])]
+    run = ValidationRun(spark, out, rules, num_buckets=8, run_id="rM")
+    run.run(images, captions)
+
+    m = run.metrics().toPandas()
+    assert set(m.columns) == {"metric", "column", "value", "rule", "run_id"}
+    stats = m[m["rule"] == "stats"]
+    assert set(stats["metric"]) >= {"count", "null_frac", "approx_distinct", "min", "max"}
+    got_count = stats[(stats["metric"] == "count") & (stats["column"] == "w")]["value"].iloc[0]
+    assert got_count == images.count()
+    drift = m[m["rule"].str.startswith("drift")]
+    assert len(drift) > 0  # KS/PSI scores recorded
+
+    # noop resume: all rules skipped, metrics still readable/unchanged
+    again = ValidationRun(spark, out, rules, num_buckets=8, run_id="rM")
+    s = again.run(images, captions)
+    assert s["rules_run"] == 0
+    assert len(again.metrics().toPandas()) == len(m)
+
+
+def test_cross_run_drift_from_persisted_snapshot(spark, data, tmp_path_factory):
+    """Validate-against-last-known-good: run 1 persists its fmt
+    distribution snapshot into the metrics layout; run 2 on a drifted
+    table loads it as the DriftRule reference and fires."""
+    from assetdatavalidationtool_spark.rules import DriftRule, RuleContext, RuleSet
+    from assetdatavalidationtool_spark.rules.drift import (
+        load_snapshot,
+        persist_snapshot,
+        snapshot_reference,
+    )
+
+    out = str(tmp_path_factory.mktemp("run_snap"))
+    images, _ = data
+    snap = snapshot_reference(images, "fmt", "categorical")
+    persist_snapshot(spark, snap, out, "day1", "fmt")
+
+    ref = load_snapshot(spark, out, "day1", "fmt")
+    assert ref == pytest.approx(snap)
+
+    drifted = images.withColumn("fmt", F.lit("webp"))  # all-webp: massive drift
+    rule = DriftRule(column="fmt", kind="categorical", reference=ref,
+                     ks_threshold=0.1, psi_threshold=0.2)
+    ctx = RuleContext(spark=spark, images=drifted, num_buckets=8)
+    vio = RuleSet([rule]).run(ctx, persist=False)["violations"].collect()
+    assert {r["detail"].split()[0] for r in vio} == {"ks", "psi"}
+
+    # same-distribution run does NOT fire
+    ctx2 = RuleContext(spark=spark, images=images, num_buckets=8)
+    assert RuleSet([DriftRule(column="fmt", kind="categorical", reference=ref,
+                              ks_threshold=0.1, psi_threshold=0.2)]).run(
+        ctx2, persist=False)["violations"].count() == 0
