@@ -48,3 +48,84 @@ def test_render_deterministic_across_calls():
     a = render_image("img_000000000042", 64, 64)
     b = render_image("img_000000000042", 64, 64)
     assert (a == b).all()
+
+
+# --------------------------------------------------------------------------
+# Property-based round-trip invariants (hypothesis): the per-row
+# invariant rules assume these codec laws for ARBITRARY content, not
+# just datagen renders — fuzz them.
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from assetdatavalidationtool_spark.codecs import (
+    decode_wav,
+    decode_y4m,
+    encode_wav,
+    encode_y4m,
+)
+
+_img_strategy = st.tuples(
+    st.integers(min_value=1, max_value=24),  # h
+    st.integers(min_value=1, max_value=24),  # w
+    st.integers(min_value=0, max_value=2**32 - 1),  # seed
+).map(
+    lambda t: np.random.default_rng(t[2]).integers(
+        0, 256, size=(t[0], t[1], 3), dtype=np.uint8
+    )
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(img=_img_strategy)
+def test_png_roundtrip_any_content(img):
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=arrays(np.int16, st.integers(min_value=1, max_value=500),
+                   elements=st.integers(min_value=-32768, max_value=32767)),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_any_content(samples, sr):
+    got, got_sr = decode_wav(encode_wav(samples, sr))
+    assert got_sr == sr
+    assert np.array_equal(got[:, 0], samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    frames=st.tuples(
+        st.integers(min_value=1, max_value=4),   # n_frames
+        st.integers(min_value=1, max_value=8),   # h/2
+        st.integers(min_value=1, max_value=8),   # w/2
+        st.integers(min_value=0, max_value=2**32 - 1),
+    ).map(
+        lambda t: np.random.default_rng(t[3]).integers(
+            0, 256, size=(t[0], t[1] * 2, t[2] * 2, 3), dtype=np.uint8
+        )
+    ),
+    fps=st.sampled_from([24, 30]),
+)
+def test_y4m_c444_roundtrip_within_one(frames, fps):
+    """C444 (no chroma subsampling) must round-trip within ±1 per
+    channel (BT.601 integer transform) for arbitrary content."""
+    got, got_fps = decode_y4m(encode_y4m(frames, fps=fps, subsampling="444"))
+    assert got_fps == fps and len(got) == len(frames)
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decoders_never_hang_on_garbage(data):
+    """Arbitrary bytes must raise cleanly (the rules' per-row degrade
+    path depends on decoders failing fast, never crashing the worker)."""
+    for dec in (decode_png, lambda b: decode_wav(b), lambda b: decode_y4m(b)):
+        try:
+            dec(data)
+        except Exception:
+            pass
