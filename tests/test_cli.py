@@ -1,0 +1,83 @@
+"""End-to-end test of the deployment surface: run_validation.py invoked
+as a subprocess (the spark-submit analog), image and audio modalities,
+including resume semantics of a second identical invocation."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/run_validation.py", *args],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def images_dir(spark, tmp_path_factory):
+    from assetdatavalidationtool_spark.datagen import generate_captions, generate_images
+
+    d = tmp_path_factory.mktemp("cli_data")
+    generate_images(spark, 120, partitions=2, dup_ids=2, bad_pixel_ids=3).write.parquet(
+        str(d / "images")
+    )
+    generate_captions(spark, 120, partitions=2, drop_ids=4).write.parquet(
+        str(d / "captions")
+    )
+    return d
+
+
+def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_out"))
+    r1 = _run_cli(
+        "--images", str(images_dir / "images"),
+        "--captions", str(images_dir / "captions"),
+        "--output", out, "--run-id", "cli1",
+        "--num-buckets", "8", "--cores", "4",
+    )
+    assert r1["rules_run"] == 7 and r1["rules_skipped"] == 0
+    # planted faults: 2 dups + 3 bad pixels (+2 dup re-emits of clean
+    # rows' captions are fine) + 4 missing captions — at least these
+    assert r1["total_violations"] >= 2 + 3 + 4
+    assert r1["failed_partitions"] > 0
+
+    # identical re-invocation = pure resume, nothing recomputed
+    r2 = _run_cli(
+        "--images", str(images_dir / "images"),
+        "--captions", str(images_dir / "captions"),
+        "--output", out, "--run-id", "cli1",
+        "--num-buckets", "8", "--cores", "4",
+    )
+    assert r2["rules_run"] == 0 and r2["rules_skipped"] == 7
+    assert r2["total_violations"] == r1["total_violations"]
+    # metrics landed in the layout (stats + drift rules emit them)
+    assert os.path.isdir(f"{out}/metrics/run_id=cli1/rule=stats")
+
+
+def test_cli_audio_modality(spark, tmp_path_factory):
+    from assetdatavalidationtool_spark.datagen import generate_clips
+
+    d = tmp_path_factory.mktemp("cli_audio")
+    generate_clips(spark, 30, partitions=2, n_samples=800, corrupt_ids=2).write.parquet(
+        str(d / "clips")
+    )
+    out = str(tmp_path_factory.mktemp("cli_audio_out"))
+    r = _run_cli(
+        "--images", str(d / "clips"), "--output", out,
+        "--run-id", "cliA", "--modality", "audio",
+        "--num-buckets", "4", "--cores", "4",
+    )
+    assert r["rules_run"] == 4
+    assert r["total_violations"] >= 2  # the corrupt clips
