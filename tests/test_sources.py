@@ -91,6 +91,100 @@ def test_connector_scaffolds(spark):
         LdapConnector("ldap://x", "dc=corp").fetch_rows()
 
 
+def test_servicenow_connector_pagination_and_pushdown(spark):
+    """Full ServiceNow Table API client against a fake transport:
+    offset paging terminates on a short page, query/fields are pushed
+    down in the URL, auth header carried, dynamic headers grow."""
+    from urllib.parse import parse_qs, urlparse
+
+    from assetdatavalidationtool_spark.sources.connectors import ServiceNowConnector
+
+    calls = []
+
+    def fake(url, headers):
+        calls.append((url, headers))
+        q = parse_qs(urlparse(url).query)
+        off = int(q["sysparm_offset"][0])
+        assert q["sysparm_query"] == ["active=true"]
+        assert q["sysparm_fields"] == ["name,ip"]
+        assert headers["Authorization"] == "Bearer tok"
+        if off == 0:
+            return {"result": [{"name": f"h{i}"} for i in range(3)]}
+        return {"result": [{"name": "h3", "ip": "10.0.0.4"}]}  # short -> stop
+
+    c = ServiceNowConnector(
+        "https://x.example/", "cmdb_ci", auth_token="tok", page_size=3,
+        query="active=true", fields=["name", "ip"], transport=fake,
+    )
+    df = c.to_df(spark, "snow")
+    assert len(calls) == 2
+    assert "/api/now/table/cmdb_ci?" in calls[0][0]
+    assert df.count() == 4 and set(df.columns) == {"name", "ip", "_source"}
+
+
+def test_graph_connector_follows_next_link(spark):
+    """Graph-style client: rows under value, continuation via
+    @odata.nextLink, $select/$filter pushdown."""
+    from urllib.parse import parse_qs, urlparse
+
+    from assetdatavalidationtool_spark.sources.connectors import GraphConnector
+
+    def fake(url, headers):
+        if "skiptoken" in url:
+            return {"value": [{"id": "d2", "displayName": "pc2"}]}
+        q = parse_qs(urlparse(url).query)
+        assert q["$select"] == ["id,displayName"]
+        assert q["$filter"] == ["startswith(displayName,'pc')"]
+        return {
+            "value": [{"id": "d1", "displayName": "pc1"}],
+            "@odata.nextLink": "https://g.example/devices?$skiptoken=abc",
+        }
+
+    c = GraphConnector(
+        "https://g.example/devices", auth_token="tok",
+        select=["id", "displayName"], filter="startswith(displayName,'pc')",
+        transport=fake,
+    )
+    rows = c.fetch_rows()
+    assert [r["id"] for r in rows] == ["d1", "d2"]
+
+
+def test_ldap_connector_cookie_paging_and_projection():
+    """LDAP client: RFC2696 cookie paging terminates when the cookie is
+    None; the declared attribute projection is enforced client-side."""
+    pages = [
+        ([{"name": "a", "operatingSystem": "linux", "extraOp": "x"}], b"more"),
+        ([{"name": "b", "operatingSystem": "win"}], None),
+    ]
+    seen_cookies = []
+
+    def fake_search(base, flt, attributes, page_size, cookie):
+        assert base == "dc=corp" and flt == "(objectClass=computer)"
+        assert attributes == ["name", "operatingSystem"]
+        seen_cookies.append(cookie)
+        return pages[len(seen_cookies) - 1]
+
+    c = LdapConnector("ldap://x", "dc=corp", search=fake_search)
+    rows = c.fetch_rows()
+    assert seen_cookies == [None, b"more"]
+    assert rows == [
+        {"name": "a", "operatingSystem": "linux"},
+        {"name": "b", "operatingSystem": "win"},
+    ]
+
+
+def test_rest_connector_runaway_pagination_guard():
+    from assetdatavalidationtool_spark.sources.connectors import ServiceNowConnector
+
+    def endless(url, headers):
+        return {"result": [{"name": "x"}] * 2}
+
+    c = ServiceNowConnector("https://x", "t", page_size=2, transport=endless,
+                            max_pages=5)
+    with pytest.raises(RuntimeError, match="pagination exceeded"):
+        c.fetch_rows()
+
+
 def _make_xlsx(path, header_cells, data_rows, shared=None,
                rel_target="worksheets/sheet1.xml"):
     """Minimal hand-built xlsx: enough of the OOXML zip for the reader.
