@@ -340,3 +340,72 @@ def test_sanitizers_and_packaging(tmp_path):
     with zipfile.ZipFile(z) as zf:
         entries = sorted(zf.namelist())
     assert entries == ["audit.log", "report/summary.parquet", "sources/inv.csv"]
+
+
+def test_http_push_client_parity(tmp_path):
+    """HttpApiClient parity (HttpApiClient.cs:18-75): auth matrix,
+    multipart body shape, disabled/blank-endpoint -> False with no I/O,
+    status gating, 5 s timeout floor."""
+    from assetdatavalidationtool_spark.sources.push import (
+        ApiSettings,
+        HttpPushClient,
+    )
+
+    f = tmp_path / "report.zip"
+    f.write_bytes(b"ZIPDATA")
+    calls = []
+
+    def fake_post(url, headers, body, timeout):
+        calls.append((url, headers, body, timeout))
+        return 201
+
+    s = ApiSettings(
+        base_url="https://api.example", enabled=True, auth_type="bearer",
+        api_key="tok", source_endpoint="/v1/sources",
+        report_endpoint="https://other.example/v1/reports",
+        timeout_seconds=1.0,  # below the floor
+    )
+    c = HttpPushClient(s, post=fake_post)
+    assert c.upload_source("cmdb", str(f)) is True
+    url, headers, body, timeout = calls[-1]
+    assert url == "https://api.example/v1/sources"       # base joined
+    assert headers["Authorization"] == "Bearer tok"
+    assert timeout == 5.0                                # floor applied
+    assert b'name="label"\r\n\r\ncmdb' in body
+    assert b'filename="report.zip"' in body and b"ZIPDATA" in body
+    assert headers["Content-Type"].startswith("multipart/form-data; boundary=")
+
+    assert c.upload_report(str(f)) is True
+    assert calls[-1][0] == "https://other.example/v1/reports"  # absolute kept
+
+    # auth matrix
+    for auth, expect in [
+        ("api_key", ("X-API-Key", "tok")),
+        ("basic", ("Authorization", "Basic ")),
+        ("none", None),
+    ]:
+        s2 = ApiSettings(enabled=True, auth_type=auth, api_key="tok",
+                         username="u", password="p",
+                         report_endpoint="https://x/r")
+        HttpPushClient(s2, post=fake_post).upload_report(str(f))
+        h = calls[-1][1]
+        if expect is None:
+            assert "Authorization" not in h and "X-API-Key" not in h
+        else:
+            assert h[expect[0]].startswith(expect[1])
+
+    # disabled or blank endpoint: False, no transport call
+    n = len(calls)
+    assert HttpPushClient(
+        ApiSettings(enabled=False, report_endpoint="https://x/r"), post=fake_post
+    ).upload_report(str(f)) is False
+    assert HttpPushClient(
+        ApiSettings(enabled=True, report_endpoint=""), post=fake_post
+    ).upload_report(str(f)) is False
+    assert len(calls) == n
+
+    # non-2xx -> False
+    assert HttpPushClient(
+        ApiSettings(enabled=True, report_endpoint="https://x/r"),
+        post=lambda *a: 500,
+    ).upload_report(str(f)) is False
