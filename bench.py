@@ -77,6 +77,41 @@ def cpu_counters() -> tuple[int, int]:
 STEAL_RETRY = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "0.10"))
 
 
+def _probe_worker(mb: int) -> int:
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(
+        0, 255, size=(mb * 1024 * 1024 // 2,), dtype=np.int16
+    )
+    for _ in range(3):
+        b = a.astype(np.int32)
+        b += 1
+        np.clip(b, 0, 255, out=b)
+        a = b.astype(np.int16)
+    return int(a[0])
+
+
+def contention_probe(workers: int = 4, mb: int = 48) -> float:
+    """Seconds for a FIXED multiprocess numpy workload (int16 adds,
+    clips, casts over MB-size arrays — the validation kernel's memory
+    profile). This is the host-contention signal /proc/stat steal and
+    guest loadavg both miss: identical 80k image passes measured 20.8 /
+    47.4 / 205.7 s in one night at 0-0.7% steal and idle pre-run
+    loadavg — only a direct measurement exposes such windows. Recorded
+    before and after every timed unit; quiet-window baseline for
+    (4 workers, 48 MB) on this host is ~2-3 s, and a probe at >2x
+    baseline marks the window (and any wall time measured in it)
+    storm-afflicted."""
+    import multiprocessing as mp
+
+    import numpy  # noqa: F401  (loaded pre-fork so workers inherit it)
+
+    t0 = time.time()
+    with mp.Pool(workers) as pool:
+        pool.map(_probe_worker, [mb] * workers)
+    return round(time.time() - t0, 2)
+
+
 def timed_best(run, attempts: int = 2, max_extra: int = 2) -> dict:
     """Best-of-N timing with loadavg + CPU-steal capture. ``run`` is a
     nullary that executes the unit once. Returns wall time of the best
@@ -279,17 +314,21 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
         wout["verdicts"].count()
         wout["violations"].unpersist()
     stats_box: dict = {}
+    probe_before = contention_probe()
     r = timed_best(
         lambda: stats_box.__setitem__(
             "stats", run_validation_pass(spark, img_path, cap_path)
         ),
         attempts=repeats,
     )
+    probe_after = contention_probe()
     spark.stop()
     return {"cores": cores, "n_images": n, "wall_sec": r["sec"],
             "images_per_sec": n / r["sec"], "load": r["load"],
             "steal_pct": r["steal_pct"], "attempts": r["attempts"],
-            "all_walls": r["all_secs"], **stats_box["stats"]}
+            "all_walls": r["all_secs"],
+            "probe_before_sec": probe_before, "probe_after_sec": probe_after,
+            **stats_box["stats"]}
 
 
 def scaling_mode() -> None:
@@ -411,6 +450,7 @@ def scaling_mode() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_last.json", "w") as f:
         json.dump({**report, "runs": results}, f, indent=2)
+    _append_history({"mode": "scaling", **report, "runs": results})
 
 
 def main() -> None:
@@ -495,6 +535,12 @@ def main() -> None:
                 "image_pass_load": img_run.get("load"),
                 "image_pass_steal_pct": img_run.get("steal_pct"),
                 "image_pass_walls": img_run.get("all_walls"),
+                "image_pass_probe_before_sec": img_run.get("probe_before_sec"),
+                "image_pass_probe_after_sec": img_run.get("probe_after_sec"),
+                "suite_probe_sec": contention_probe(),
+                "probe_doc": "fixed 4-proc numpy workload; quiet baseline "
+                "~0.8-3 s on this host; >2x baseline = storm-afflicted "
+                "window invisible to steal/loadavg",
                 "query_cores": query_cores,
                 "cpus": CPUS,
                 "timing_protocol": "best-of-2 per query; retry while every "
@@ -517,6 +563,18 @@ def main() -> None:
                      "BENCH", "bench_last.json"), "w"
     ) as f:
         json.dump(record, f, indent=2)
+    _append_history(record)
+
+
+def _append_history(record: dict) -> None:
+    """One JSONL line per bench/scaling run, never overwritten — the
+    cross-window spread IS the finding on this host (identical 80k
+    passes: 20.8 / 47.4 / 205.7 s at 0-0.7% steal), and a single
+    last-record file hides it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "bench_history.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1), **record}) + "\n")
 
 
 if __name__ == "__main__":

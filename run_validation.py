@@ -115,6 +115,15 @@ def main() -> None:
                     "or Y4M videos — picks the matching rule set")
     ap.add_argument("--key-col", default=None,
                     help="primary key column (defaults per modality)")
+    ap.add_argument("--snapshot", default=None, metavar="COL:KIND[,COL:KIND...]",
+                    help="after the run, record distribution snapshots of "
+                    "these columns into this run's metrics layout (kinds: "
+                    "numeric|categorical|phash_prefix) for future "
+                    "--drift-from runs")
+    ap.add_argument("--drift-from", default=None, metavar="RUN_ID",
+                    help="use the fmt snapshot recorded by that run in the "
+                    "same --output as the drift reference "
+                    "(validate-against-last-known-good)")
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores, app_name=f"validation_{args.run_id}")
@@ -126,7 +135,13 @@ def main() -> None:
     elif args.modality == "video":
         rules, key_col = video_rules(), args.key_col or "video_id"
     else:
-        rules = default_rules(json.loads(args.fmt_reference))
+        if args.drift_from:
+            from assetdatavalidationtool_spark.rules.drift import load_snapshot
+
+            fmt_ref = load_snapshot(spark, args.output, args.drift_from, "fmt")
+        else:
+            fmt_ref = json.loads(args.fmt_reference)
+        rules = default_rules(fmt_ref)
         key_col = args.key_col or "image_id"
 
     run = ValidationRun(
@@ -134,6 +149,19 @@ def main() -> None:
         num_buckets=args.num_buckets, run_id=args.run_id, key_col=key_col,
     )
     summary = run.run(images, captions)
+
+    if args.snapshot:
+        from assetdatavalidationtool_spark.rules.drift import (
+            persist_snapshot,
+            snapshot_reference,
+        )
+
+        for spec in args.snapshot.split(","):
+            col, kind = spec.split(":")
+            persist_snapshot(
+                spark, snapshot_reference(images, col, kind),
+                args.output, args.run_id, col,
+            )
 
     verdicts = run.verdicts()
     failed = verdicts.where(~(F.col("violation_count") == 0)).count()

@@ -81,3 +81,36 @@ def test_cli_audio_modality(spark, tmp_path_factory):
     )
     assert r["rules_run"] == 4
     assert r["total_violations"] >= 2  # the corrupt clips
+
+
+def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
+    """Day-1 run records the fmt distribution; day-2 run on a drifted
+    table validates against it via --drift-from and the drift rule
+    fires (violations land under rule=drift(fmt))."""
+    out = str(tmp_path_factory.mktemp("cli_drift_out"))
+    r1 = _run_cli(
+        "--images", str(images_dir / "images"),
+        "--output", out, "--run-id", "day1",
+        "--num-buckets", "4", "--cores", "4",
+        "--snapshot", "fmt:categorical",
+    )
+    assert r1["rules_run"] == 7
+    assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(fmt)")
+
+    # day-2 input: same rows, fmt column forced to one value (drifted)
+    from pyspark.sql import functions as F
+
+    drifted = str(tmp_path_factory.mktemp("cli_drift_data") / "images")
+    spark.read.parquet(str(images_dir / "images")).withColumn(
+        "fmt", F.lit("webp")
+    ).write.parquet(drifted)
+
+    _run_cli(
+        "--images", drifted, "--output", out, "--run-id", "day2",
+        "--num-buckets", "4", "--cores", "4", "--drift-from", "day1",
+    )
+    drift_vio = spark.read.parquet(
+        f"{out}/violations/run_id=day2/rule=drift(fmt)"
+    )
+    details = {r["detail"].split()[0] for r in drift_vio.collect()}
+    assert "ks" in details or "psi" in details
