@@ -159,3 +159,20 @@ def test_schema_binary_null_check_pushes_down(spark, tmp_path_factory):
     vio = rule.violations(ctx2).collect()
     assert sum(1 for r in vio if r["column"] == "w") == 3
     assert sum(1 for r in vio if r["column"] == "bytes") == 0
+
+
+def test_ruleset_verdicts_reuses_persisted_violations(spark):
+    """The verdict spine must read the violations union from ONE
+    materialization (InMemoryTableScan) in both the >=0 and <0 bucket
+    branches — without persist the whole rule set executes twice per
+    action (measured 16.5 s -> 4.1 s at sf0.1). The tiny rule-names
+    dimension must be broadcast, never shuffled."""
+    p = plan(QUERIES["ruleset_verdicts"].fn(spark, SF))
+    assert p.count("InMemoryTableScan") >= 2  # both verdict branches cached
+    assert "BroadcastExchange" in p
+    # the two rule computations (uniqueness agg, referential full-outer)
+    # appear once inside the cached subtree, not duplicated per branch:
+    # the physical plan outside InMemoryRelation sections must not scan
+    # the orders parquet more than the rows_scanned aggregate needs
+    head = p.split("InMemoryRelation")[0] if "InMemoryRelation" in p else p
+    assert head.count("Scan parquet") <= 2
