@@ -371,7 +371,8 @@ def scaling_mode() -> None:
             prefix
             + [sys.executable, __file__, "--single-run", str(cores), str(n_scaling)],
             capture_output=True, text=True, timeout=3600,
-            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+            env={**os.environ, "SPARK_GRAFT_NO_HISTORY": "1",
+                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
@@ -455,7 +456,13 @@ def scaling_mode() -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--single-run":
-        print(json.dumps(single_run(int(sys.argv[2]), int(sys.argv[3]))))
+        r = single_run(int(sys.argv[2]), int(sys.argv[3]))
+        print(json.dumps(r))
+        # standalone invocations get a durable record too; suppressed
+        # for the subprocess legs of --scaling / the suite (they record
+        # their own aggregated entries)
+        if os.environ.get("SPARK_GRAFT_NO_HISTORY") != "1":
+            _append_history({"mode": "single_run", **r})
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling_mode()
@@ -490,7 +497,8 @@ def main() -> None:
     out = subprocess.run(
         [sys.executable, __file__, "--single-run", str(image_cores), str(N_IMAGES)],
         capture_output=True, text=True, timeout=1200,
-        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        env={**os.environ, "SPARK_GRAFT_NO_HISTORY": "1",
+             "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     img_run = json.loads(line)
