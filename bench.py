@@ -406,8 +406,15 @@ def scaling_mode() -> None:
         r_hi = one(pair[1])
         results += [r_lo, r_hi]
         eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / factor
+        # a round is tainted on ANY contention signal: steal, loadavg,
+        # or the direct probe (PROBE_RETRY seconds; steal/loadavg
+        # provably miss this host's storms — see contention_probe)
+        probe_retry = float(os.environ.get("SPARK_GRAFT_PROBE_RETRY", "8"))
         tainted = any(
-            r.get("steal_pct", 0) > 100 * STEAL_RETRY or r.get("load", 0) > LOAD_RETRY
+            r.get("steal_pct", 0) > 100 * STEAL_RETRY
+            or r.get("load", 0) > LOAD_RETRY
+            or r.get("probe_before_sec", 0) > probe_retry
+            or r.get("probe_after_sec", 0) > probe_retry
             for r in (r_lo, r_hi)
         )
         rounds_out.append(
@@ -444,8 +451,9 @@ def scaling_mode() -> None:
             else "median of TAINTED rounds (no untainted round available "
             "within the round budget — treat as storm-afflicted)"
         )
-        + " (lower median; tainted = a leg's best attempt saw steal>"
-        f"{100 * STEAL_RETRY:g}% or load>{LOAD_RETRY:g})",
+        + " (lower median; tainted = a leg saw steal>"
+        f"{100 * STEAL_RETRY:g}%, load>{LOAD_RETRY:g}, or contention "
+        f"probe>{os.environ.get('SPARK_GRAFT_PROBE_RETRY', '8')}s)",
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
