@@ -100,8 +100,14 @@ def q_matches_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "missing_by_file",
+    # TPC-H is referentially intact, so keys missing on BOTH sides are
+    # planted deterministically (customers c_custkey % 7 = 3 dropped ->
+    # orders referencing them are "missing from customer"; customers
+    # with no orders at all are "missing from orders") — a 0-row result
+    # would verify nothing.
     """
-    WITH ck AS (SELECT DISTINCT upper(trim(CAST(c_custkey AS VARCHAR))) AS key FROM customer),
+    WITH ck AS (SELECT DISTINCT upper(trim(CAST(c_custkey AS VARCHAR))) AS key
+                FROM customer WHERE c_custkey % 7 <> 3),
          ok AS (SELECT DISTINCT upper(trim(CAST(o_custkey AS VARCHAR))) AS key FROM orders)
     SELECT 'customer' AS source, key FROM ok WHERE key NOT IN (SELECT key FROM ck)
     UNION ALL
@@ -109,9 +115,10 @@ def q_matches_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 != 3)
     return missing_by_file(
         {
-            "customer": (_t(spark, sf_dir, "customer"), "c_custkey"),
+            "customer": (customer, "c_custkey"),
             "orders": (_t(spark, sf_dir, "orders"), "o_custkey"),
         }
     )
