@@ -17,13 +17,17 @@ with SPARK_GRAFT_SCALING_CORES. Results land in
 BENCH/scaling_last.json and are summarized in BENCH/BASELINE.md.
 
 Noise protocol (both modes): this host sees multi-minute co-tenant
-storms that inflate wall times 5-30x — often with LOW guest loadavg,
-because hypervisor CPU steal doesn't run our threads. Every timed unit
+storms that inflate wall times up to 10x — and they are INVISIBLE to
+both guest loadavg and /proc/stat steal (measured: identical 80k
+passes at 20.8 / 47.4 / 205.7 s, all <=0.7% steal). Every timed unit
 is best-of-2 (with extra retries while every attempt's window shows
-loadavg > LOAD_RETRY or steal > STEAL_RETRY), and both /proc/loadavg
-and the /proc/stat steal fraction are captured around each attempt and
-recorded in the JSON so an inflated record is detectable after the
-fact.
+loadavg > LOAD_RETRY or steal > STEAL_RETRY), loadavg + steal are
+captured around each attempt, and ``contention_probe()`` — a fixed
+multiprocess numpy workload that directly measures the window — is
+recorded before/after each unit. Every run appends its full record to
+``BENCH/bench_history.jsonl`` (the latest also lands in
+``BENCH/bench_last.json`` / ``BENCH/scaling_last.json``), so no record
+is ever lost to overwrites or driver stdout truncation.
 """
 
 from __future__ import annotations

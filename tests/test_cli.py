@@ -114,3 +114,20 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
     )
     details = {r["detail"].split()[0] for r in drift_vio.collect()}
     assert "ks" in details or "psi" in details
+
+
+def test_cli_video_modality(spark, tmp_path_factory):
+    from assetdatavalidationtool_spark.datagen import generate_videos
+
+    d = tmp_path_factory.mktemp("cli_video")
+    generate_videos(
+        spark, 16, partitions=2, n_frames=4, w=16, h=12, corrupt_ids=2
+    ).write.parquet(str(d / "videos"))
+    out = str(tmp_path_factory.mktemp("cli_video_out"))
+    r = _run_cli(
+        "--images", str(d / "videos"), "--output", out,
+        "--run-id", "cliV", "--modality", "video",
+        "--num-buckets", "4", "--cores", "4",
+    )
+    assert r["rules_run"] == 4
+    assert r["total_violations"] >= 2  # the corrupt videos
