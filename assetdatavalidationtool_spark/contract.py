@@ -1467,8 +1467,10 @@ LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
 """
 
 
-@register("ruleset_verdicts", _RULESET_SQL)
-def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_ruleset_run(spark: SparkSession, sf_dir: str) -> dict:
+    """LAZY RuleSet.run result for the verdict-spine query — split out
+    so tests can plan-gate the uncollected verdicts DataFrame. Callers
+    own the persisted ``violations`` and must unpersist it."""
     from .rules import ReferentialRule, RuleContext, RuleSet, UniquenessRule
 
     orders = _t(spark, sf_dir, "orders").select(
@@ -1497,4 +1499,16 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default persist=True: the violations union feeds both the >=0 and
     # <0 bucket branches of the verdict plan; without persistence both
     # rules execute twice per action (measured 16.5 s -> ~8 s at sf0.1)
-    return rs.run(ctx)["verdicts"]
+    return rs.run(ctx)
+
+
+@register("ruleset_verdicts", _RULESET_SQL)
+def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verdicts are tiny (num_buckets x rules rows) — materialize them
+    # here so the cached violations can be unpersisted immediately
+    # instead of leaking into the shared session for the harness's life.
+    res = build_ruleset_run(spark, sf_dir)
+    verdicts = res["verdicts"]
+    rows = verdicts.collect()
+    res["violations"].unpersist()
+    return spark.createDataFrame(rows, verdicts.schema)

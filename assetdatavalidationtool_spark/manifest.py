@@ -35,6 +35,7 @@ Semantics:
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -82,6 +83,7 @@ class ValidationRun:
         num_buckets: int = 64,
         run_id: str = "run_0",
         key_col: str = "image_id",
+        bucket_expr=None,
     ):
         self.spark = spark
         self.out = output_dir.rstrip("/")
@@ -89,6 +91,10 @@ class ValidationRun:
         self.num_buckets = num_buckets
         self.run_id = run_id
         self.key_col = key_col
+        # Custom bucketing (e.g. mirroring an Iceberg partition
+        # transform) flows into the RuleContext so every rule, the
+        # resume filter, and the written partition values all agree.
+        self.bucket_expr = bucket_expr
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- manifest ----------------------------------------------------------
@@ -142,13 +148,33 @@ class ValidationRun:
             return
         mdir = mpath[len("file://"):] if mpath.startswith("file://") else mpath
         batch = uuid.uuid4().hex
-        staging = f"{os.path.dirname(mdir)}/.manifest_staging/{batch}"
+        staging_root = f"{os.path.dirname(mdir)}/.manifest_staging"
+        staging = f"{staging_root}/{batch}"
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(mdir, exist_ok=True)
         files = sorted(glob.glob(f"{staging}/*.parquet"))
-        assert len(files) == 1, f"expected one staged manifest file, got {files}"
+        if len(files) != 1:
+            # A real error, not assert: under python -O a silently-renamed
+            # files[0] would drop the rest of the batch — a torn batch,
+            # the exact failure the atomic rename exists to prevent.
+            raise RuntimeError(
+                f"expected exactly one staged manifest file, got {files}"
+            )
         os.rename(files[0], f"{mdir}/batch-{batch}.parquet")
         shutil.rmtree(staging, ignore_errors=True)
+        # GC: a crash between write and rename leaves orphan staging
+        # dirs. Sweep only entries older than an hour — a younger
+        # sibling may be a concurrent publisher mid-flight — then drop
+        # the parent if that left it empty.
+        try:
+            cutoff = time.time() - 3600
+            for stale in os.listdir(staging_root):
+                p = f"{staging_root}/{stale}"
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            os.rmdir(staging_root)
+        except OSError:
+            pass
 
     # -- execution ---------------------------------------------------------
     def run(self, images: DataFrame, captions: DataFrame | None = None) -> dict:
@@ -159,6 +185,7 @@ class ValidationRun:
             num_buckets=self.num_buckets,
             run_id=self.run_id,
             key_col=self.key_col,
+            bucket_expr=self.bucket_expr,
         )
         done = self.completed()
         seq = int(time.time() * 1000)
@@ -235,10 +262,12 @@ class ValidationRun:
             if ctx.captions is not None
             else None
         )
-        return RuleContext(
-            spark=ctx.spark, images=f_img, captions=f_cap,
-            num_buckets=ctx.num_buckets, run_id=ctx.run_id, key_col=ctx.key_col,
-        )
+        # dataclasses.replace keeps bucket_expr/extras (and any future
+        # field): the resumed rules MUST bucket with the same expression
+        # the filter above selected by, or dynamic-partition overwrite
+        # writes the recomputed rows under different buckets than the
+        # manifest marked incomplete.
+        return dataclasses.replace(ctx, images=f_img, captions=f_cap)
 
     def _verdicts(
         self, ctx: RuleContext, rule: Rule, vio: DataFrame, aligned: bool

@@ -137,26 +137,87 @@ def persist_snapshot(
     output_dir: str,
     run_id: str,
     column: str,
+    kind: str = "categorical",
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    bins: int = 32,
 ) -> str:
     """Persist a reference distribution into a run's metrics layout
     (``metrics/run_id=<run>/rule=snapshot(<column>)``, rows
     ``(metric='frac', column=<bin>, value=<fraction>)``) so the NEXT
     run can drift-check against this run's recorded distribution — the
     validate-against-last-known-good workflow a 100 TB pipeline runs
-    nightly. Tiny data (num_bins rows): written as one file."""
+    nightly. Binning metadata (kind/lo/hi/bins) is stored alongside as
+    ``meta_*`` rows so the consuming run bins IDENTICALLY without the
+    operator re-specifying the spec. Tiny data (num_bins rows):
+    written as one file."""
     path = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}/rule=snapshot({column})"
     rows = [("frac", b, float(f)) for b, f in sorted(snapshot.items())]
+    rows += [
+        ("meta_kind", kind, 0.0),
+        ("meta_lo", "", float(lo)),
+        ("meta_hi", "", float(hi)),
+        ("meta_bins", "", float(bins)),
+    ]
     spark.createDataFrame(
         rows, "metric string, column string, value double"
     ).coalesce(1).write.mode("overwrite").parquet(path)
     return path
 
 
+def _snapshot_path(output_dir: str, run_id: str, column: str) -> str:
+    return f"{output_dir.rstrip('/')}/metrics/run_id={run_id}/rule=snapshot({column})"
+
+
+def _read_snapshot(spark, output_dir: str, run_id: str, column: str):
+    """Read snapshot rows with a usable error: a missing path reports
+    which snapshot columns the run DID record (or that it recorded
+    none) instead of a raw parquet path-not-found."""
+    import glob as _glob
+
+    try:
+        return spark.read.parquet(
+            _snapshot_path(output_dir, run_id, column)
+        ).collect()
+    except Exception as exc:
+        run_dir = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}"
+        recorded = sorted(
+            p.split("rule=snapshot(")[1].rstrip(")")
+            for p in _glob.glob(f"{run_dir}/rule=snapshot(*)")
+        )
+        hint = (
+            f"it recorded snapshots for columns {recorded}"
+            if recorded
+            else "it recorded no snapshots (run it with --snapshot COL:KIND)"
+        )
+        raise FileNotFoundError(
+            f"run {run_id!r} has no snapshot for column {column!r}: {hint}"
+        ) from exc
+
+
 def load_snapshot(spark, output_dir: str, run_id: str, column: str) -> dict[str, float]:
     """Read back a snapshot persisted by ``persist_snapshot`` as the
     ``reference=`` dict for a DriftRule in a later run."""
-    path = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}/rule=snapshot({column})"
     return {
         r["column"]: r["value"]
-        for r in spark.read.parquet(path).where(F.col("metric") == "frac").collect()
+        for r in _read_snapshot(spark, output_dir, run_id, column)
+        if r["metric"] == "frac"
     }
+
+
+def load_snapshot_spec(
+    spark, output_dir: str, run_id: str, column: str
+) -> tuple[dict[str, float], str, float, float, int]:
+    """Snapshot + its recorded binning spec: ``(reference, kind, lo,
+    hi, bins)`` — enough to construct a DriftRule that bins the current
+    run exactly like the snapshot was binned. Snapshots persisted
+    before the metadata rows existed default to categorical/0/1024/32
+    (the only spec earlier CLI versions could write)."""
+    rows = _read_snapshot(spark, output_dir, run_id, column)
+    ref = {r["column"]: r["value"] for r in rows if r["metric"] == "frac"}
+    meta = {r["metric"]: r for r in rows if r["metric"].startswith("meta_")}
+    kind = meta["meta_kind"]["column"] if "meta_kind" in meta else "categorical"
+    lo = meta["meta_lo"]["value"] if "meta_lo" in meta else 0.0
+    hi = meta["meta_hi"]["value"] if "meta_hi" in meta else 1024.0
+    bins = int(meta["meta_bins"]["value"]) if "meta_bins" in meta else 32
+    return ref, kind, lo, hi, bins

@@ -105,7 +105,16 @@ class ServiceNowConnector:
         get = self.transport or default_transport
         rows: list[dict] = []
         offset = 0
-        for _ in range(self.max_pages):
+        pages = 0
+        # Same guard shape as GraphConnector: only raise when MORE
+        # pages remain past the limit (a short page on the last allowed
+        # iteration is a completed fetch).
+        while True:
+            if pages >= self.max_pages:
+                raise RuntimeError(
+                    f"ServiceNow pagination exceeded {self.max_pages} pages — "
+                    "refusing to loop forever"
+                )
             params = {"sysparm_limit": self.page_size, "sysparm_offset": offset}
             if self.query:
                 params["sysparm_query"] = self.query
@@ -117,10 +126,7 @@ class ServiceNowConnector:
             if len(page) < self.page_size:
                 return rows
             offset += self.page_size
-        raise RuntimeError(
-            f"ServiceNow pagination exceeded {self.max_pages} pages — "
-            "refusing to loop forever"
-        )
+            pages += 1
 
     def to_df(self, spark: SparkSession, source: str) -> DataFrame:
         return rows_to_df(spark, self.fetch_rows(), source)
@@ -155,16 +161,21 @@ class GraphConnector:
             params["$filter"] = self.filter
         url: str | None = f"{self.base_url}?{urlencode(params)}"
         rows: list[dict] = []
-        for _ in range(self.max_pages):
-            if url is None:
-                return rows
+        pages = 0
+        # Guard fires only when a nextLink actually REMAINS after
+        # max_pages — a fetch whose final page lands exactly on the
+        # limit completed successfully and must return its rows.
+        while url is not None:
+            if pages >= self.max_pages:
+                raise RuntimeError(
+                    f"Graph pagination exceeded {self.max_pages} pages — "
+                    "refusing to loop forever"
+                )
             body = get(url, self._headers())
             rows.extend(body.get("value", []))
             url = body.get("@odata.nextLink")
-        raise RuntimeError(
-            f"Graph pagination exceeded {self.max_pages} pages — "
-            "refusing to loop forever"
-        )
+            pages += 1
+        return rows
 
     def to_df(self, spark: SparkSession, source: str) -> DataFrame:
         return rows_to_df(spark, self.fetch_rows(), source)

@@ -120,10 +120,11 @@ def main() -> None:
                     "these columns into this run's metrics layout (kinds: "
                     "numeric|categorical|phash_prefix) for future "
                     "--drift-from runs")
-    ap.add_argument("--drift-from", default=None, metavar="RUN_ID",
-                    help="use the fmt snapshot recorded by that run in the "
-                    "same --output as the drift reference "
-                    "(validate-against-last-known-good)")
+    ap.add_argument("--drift-from", default=None, metavar="RUN_ID[:COL]",
+                    help="use the snapshot of COL (default fmt) recorded by "
+                    "that run in the same --output as the drift reference "
+                    "(validate-against-last-known-good); binning spec is "
+                    "read from the snapshot's metadata")
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores, app_name=f"validation_{args.run_id}")
@@ -135,13 +136,33 @@ def main() -> None:
     elif args.modality == "video":
         rules, key_col = video_rules(), args.key_col or "video_id"
     else:
+        extra_drift = None
         if args.drift_from:
-            from assetdatavalidationtool_spark.rules.drift import load_snapshot
+            from assetdatavalidationtool_spark.rules.drift import (
+                DriftRule,
+                load_snapshot_spec,
+            )
 
-            fmt_ref = load_snapshot(spark, args.output, args.drift_from, "fmt")
+            run_ref, _, drift_col = args.drift_from.partition(":")
+            drift_col = drift_col or "fmt"
+            ref, kind, lo, hi, bins = load_snapshot_spec(
+                spark, args.output, run_ref, drift_col
+            )
+            if drift_col == "fmt":
+                fmt_ref = ref
+            else:
+                # non-fmt reference: keep the stock fmt drift rule and
+                # ADD a drift check binned exactly like the snapshot
+                fmt_ref = json.loads(args.fmt_reference)
+                extra_drift = DriftRule(
+                    column=drift_col, kind=kind, reference=ref,
+                    lo=lo, hi=hi, bins=bins,
+                )
         else:
             fmt_ref = json.loads(args.fmt_reference)
         rules = default_rules(fmt_ref)
+        if extra_drift is not None:
+            rules.append(extra_drift)
         key_col = args.key_col or "image_id"
 
     run = ValidationRun(
@@ -160,7 +181,7 @@ def main() -> None:
             col, kind = spec.split(":")
             persist_snapshot(
                 spark, snapshot_reference(images, col, kind),
-                args.output, args.run_id, col,
+                args.output, args.run_id, col, kind=kind,
             )
 
     verdicts = run.verdicts()

@@ -92,10 +92,11 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
         "--images", str(images_dir / "images"),
         "--output", out, "--run-id", "day1",
         "--num-buckets", "4", "--cores", "4",
-        "--snapshot", "fmt:categorical",
+        "--snapshot", "fmt:categorical,w:numeric",
     )
     assert r1["rules_run"] == 7
     assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(fmt)")
+    assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(w)")
 
     # day-2 input: same rows, fmt column forced to one value (drifted)
     from pyspark.sql import functions as F
@@ -114,6 +115,34 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
     )
     details = {r["detail"].split()[0] for r in drift_vio.collect()}
     assert "ks" in details or "psi" in details
+
+    # day-3: RUN_ID:COL selects the non-fmt snapshot — the extra drift
+    # rule bins w exactly like day1's recorded spec and fires on a
+    # shifted w distribution (rules_run == 8: stock set + drift(w))
+    w_drifted = str(tmp_path_factory.mktemp("cli_drift_w") / "images")
+    spark.read.parquet(str(images_dir / "images")).withColumn(
+        "w", F.lit(1000)
+    ).write.parquet(w_drifted)
+    r3 = _run_cli(
+        "--images", w_drifted, "--output", out, "--run-id", "day3",
+        "--num-buckets", "4", "--cores", "4", "--drift-from", "day1:w",
+    )
+    assert r3["rules_run"] == 8
+    w_vio = spark.read.parquet(f"{out}/violations/run_id=day3/rule=drift(w)")
+    assert w_vio.count() > 0
+
+    # error path: a column day1 never snapshotted fails with a usable
+    # message, not a raw parquet path-not-found
+    bad = subprocess.run(
+        [sys.executable, f"{REPO}/run_validation.py",
+         "--images", w_drifted, "--output", out, "--run-id", "day4",
+         "--num-buckets", "4", "--cores", "4", "--drift-from", "day1:phash"],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert bad.returncode != 0
+    assert "no snapshot for column 'phash'" in bad.stderr
+    assert "'fmt'" in bad.stderr and "'w'" in bad.stderr  # what day1 DID record
 
 
 def test_cli_video_modality(spark, tmp_path_factory):

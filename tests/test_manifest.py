@@ -235,3 +235,75 @@ def test_cross_run_drift_from_persisted_snapshot(spark, data, tmp_path_factory):
     assert RuleSet([DriftRule(column="fmt", kind="categorical", reference=ref,
                               ks_threshold=0.1, psi_threshold=0.2)]).run(
         ctx2, persist=False)["violations"].count() == 0
+
+
+def test_bucket_grain_resume_with_custom_bucket_expr(spark, data, tmp_path_factory):
+    """A run with a custom bucket_expr (the Iceberg-partition-transform
+    injection point) must resume with THAT expression end-to-end: the
+    bucket filter, the rules' written bucket values, and the manifest
+    rows all agree. Regression: _filtered_ctx used to rebuild
+    RuleContext without bucket_expr, so a resume filtered by the custom
+    buckets but wrote under xxhash64 buckets — dynamic overwrite then
+    missed them and counts went silently wrong."""
+    out = str(tmp_path_factory.mktemp("run_bexpr"))
+    images, captions = data
+
+    def bexpr(c):
+        return F.pmod(F.abs(F.hash(c, F.lit(42))), F.lit(8))
+
+    r1 = ValidationRun(spark, out, make_rules()[:1], num_buckets=8,
+                       run_id="rB", bucket_expr=bexpr)
+    r1.run(images, captions)
+    before = _vio_set(r1)
+    total_before = r1.violations().count()
+
+    # erase completed buckets 0-3 of the uniqueness rule from the manifest
+    m = spark.read.parquet(f"{out}/manifest")
+    kept = m.where(~((F.col("rule").startswith("uniqueness")) & (F.col("bucket") < 4)))
+    kept_rows = kept.collect()
+    shutil.rmtree(f"{out}/manifest")
+    spark.createDataFrame(kept_rows, m.schema).write.parquet(f"{out}/manifest")
+
+    r2 = ValidationRun(spark, out, make_rules()[:1], num_buckets=8,
+                       run_id="rB", bucket_expr=bexpr)
+    s = r2.run(images, captions)
+    assert s["rules_run"] == 1 and s["buckets_skipped"] == 4
+    assert _vio_set(r2) == before
+    assert r2.violations().count() == total_before  # no double-count
+
+    # every violation row sits under the CUSTOM bucket of its key
+    vio = r2.violations().select("key", "bucket").where(F.col("key").isNotNull())
+    mismatched = vio.withColumn(
+        "expected", bexpr(F.col("key")).cast("long")
+    ).where(F.col("bucket") != F.col("expected")).count()
+    assert mismatched == 0
+
+
+def test_snapshot_spec_roundtrip_and_missing_error(spark, data, tmp_path_factory):
+    """persist_snapshot records the binning spec; load_snapshot_spec
+    round-trips it so the consuming run bins identically. A missing
+    snapshot reports what the run DID record instead of a raw parquet
+    path error."""
+    from assetdatavalidationtool_spark.rules.drift import (
+        load_snapshot,
+        load_snapshot_spec,
+        persist_snapshot,
+        snapshot_reference,
+    )
+
+    out = str(tmp_path_factory.mktemp("run_spec"))
+    images, _ = data
+    snap = snapshot_reference(images, "w", "numeric", lo=0.0, hi=2048.0, bins=16)
+    persist_snapshot(spark, snap, out, "day1", "w",
+                     kind="numeric", lo=0.0, hi=2048.0, bins=16)
+
+    ref, kind, lo, hi, bins = load_snapshot_spec(spark, out, "day1", "w")
+    assert ref == pytest.approx(snap)
+    assert (kind, lo, hi, bins) == ("numeric", 0.0, 2048.0, 16)
+    # legacy reader ignores the meta rows
+    assert load_snapshot(spark, out, "day1", "w") == pytest.approx(snap)
+
+    with pytest.raises(FileNotFoundError, match=r"no snapshot for column 'fmt'.*\['w'\]"):
+        load_snapshot_spec(spark, out, "day1", "fmt")
+    with pytest.raises(FileNotFoundError, match="recorded no snapshots"):
+        load_snapshot_spec(spark, out, "day_missing", "fmt")

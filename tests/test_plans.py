@@ -166,8 +166,14 @@ def test_ruleset_verdicts_reuses_persisted_violations(spark):
     materialization (InMemoryTableScan) in both the >=0 and <0 bucket
     branches — without persist the whole rule set executes twice per
     action (measured 16.5 s -> 4.1 s at sf0.1). The tiny rule-names
-    dimension must be broadcast, never shuffled."""
-    p = plan(QUERIES["ruleset_verdicts"].fn(spark, SF))
+    dimension must be broadcast, never shuffled. Plans the LAZY
+    builder: the registered query collects and unpersists (its own
+    returned plan is a LocalTableScan by design)."""
+    from assetdatavalidationtool_spark.contract import build_ruleset_run
+
+    res = build_ruleset_run(spark, SF)
+    p = plan(res["verdicts"])
+    res["violations"].unpersist()
     assert p.count("InMemoryTableScan") >= 2  # both verdict branches cached
     assert "BroadcastExchange" in p
     # the two rule computations (uniqueness agg, referential full-outer)

@@ -409,3 +409,53 @@ def test_http_push_client_parity(tmp_path):
         ApiSettings(enabled=True, report_endpoint="https://x/r"),
         post=lambda *a: 500,
     ).upload_report(str(f)) is False
+
+
+def test_pagination_guard_fires_only_when_pages_remain():
+    """A fetch whose FINAL page is consumed on the last allowed
+    iteration completed successfully and must return its rows; the
+    runaway guard fires only when a continuation actually remains."""
+    import pytest as _pytest
+
+    from assetdatavalidationtool_spark.sources.connectors import (
+        GraphConnector,
+        ServiceNowConnector,
+    )
+
+    # Graph: 2 pages, nextLink only on the first; max_pages=2 is enough
+    def two_pages(url, headers):
+        if "p2" in url:
+            return {"value": [{"id": "2"}]}  # final page, no nextLink
+        return {"value": [{"id": "1"}], "@odata.nextLink": "https://g.example/p2"}
+
+    got = GraphConnector("https://g.example/p1", transport=two_pages,
+                         max_pages=2).fetch_rows()
+    assert [r["id"] for r in got] == ["1", "2"]
+
+    def endless(url, headers):
+        return {"value": [{"id": "x"}], "@odata.nextLink": "https://g.example/next"}
+
+    with _pytest.raises(RuntimeError, match="exceeded"):
+        GraphConnector("https://g.example/p1", transport=endless,
+                       max_pages=3).fetch_rows()
+
+    # ServiceNow: short final page on the last allowed request returns
+    from urllib.parse import parse_qs, urlparse
+
+    rows = [{"a": "1"}, {"a": "2"}, {"a": "3"}]
+
+    def sn(url, headers):
+        q = parse_qs(urlparse(url).query)
+        off = int(q["sysparm_offset"][0])
+        return {"result": rows[off:off + 2]}
+
+    got = ServiceNowConnector("https://sn.example", "cmdb_ci", page_size=2,
+                              transport=sn, max_pages=2).fetch_rows()
+    assert [r["a"] for r in got] == ["1", "2", "3"]
+
+    def sn_endless(url, headers):
+        return {"result": [{"a": "x"}, {"a": "y"}]}
+
+    with _pytest.raises(RuntimeError, match="exceeded"):
+        ServiceNowConnector("https://sn.example", "cmdb_ci", page_size=2,
+                            transport=sn_endless, max_pages=3).fetch_rows()
