@@ -60,7 +60,9 @@ def rows_to_df(spark: SparkSession, rows: list[dict], source: str) -> DataFrame:
     """Dynamic-header materialization: union of keys across rows in
     first-seen order, all strings, missing cells "" (the reference
     grows headers as new JSON/LDAP fields appear,
-    ServiceNowClient.cs:56-64, ActiveDirectoryClient.cs:36-46)."""
+    ServiceNowClient.cs:56-64, ActiveDirectoryClient.cs:36-46).
+    ``_row`` carries the fetch order so first-occurrence-wins dedup
+    (conflicts.first_row_per_key) has a deterministic order column."""
     headers: list[str] = []
     seen = set()
     for r in rows:
@@ -70,12 +72,13 @@ def rows_to_df(spark: SparkSession, rows: list[dict], source: str) -> DataFrame:
                 headers.append(k)
     schema = T.StructType(
         [T.StructField(h, T.StringType(), True) for h in headers]
-        + [T.StructField("_source", T.StringType(), False)]
+        + [T.StructField("_source", T.StringType(), False),
+           T.StructField("_row", T.LongType(), False)]
     )
     data = [
         tuple(str(r.get(h, "")) if r.get(h) is not None else "" for h in headers)
-        + (source,)
-        for r in rows
+        + (source, i)
+        for i, r in enumerate(rows)
     ]
     return spark.createDataFrame(data, schema)
 
@@ -252,3 +255,32 @@ class LdapConnector:
 
     def to_df(self, spark: SparkSession, source: str) -> DataFrame:
         return rows_to_df(spark, self.fetch_rows(), source)
+
+
+def replay_transport(path: str) -> Transport:
+    """Offline transport replaying recorded response bodies in sequence
+    from a JSON file (a list of page dicts). This is the deployment
+    seam for (a) testing the full connector -> validation path with no
+    network and (b) re-validating against captured API dumps — the
+    reference's MainForm pulls live, our CLI can pull live OR replay.
+    Raises if the connector requests more pages than were recorded
+    (a recording/config mismatch, not a silent empty page)."""
+    import json as _json
+
+    with open(path) as f:
+        pages = _json.load(f)
+    if not isinstance(pages, list):
+        raise ValueError(f"{path}: expected a JSON list of response bodies")
+    state = {"i": 0}
+
+    def transport(url: str, headers: dict) -> dict:
+        i = state["i"]
+        if i >= len(pages):
+            raise RuntimeError(
+                f"replay exhausted: connector requested page {i + 1} but "
+                f"{path} recorded only {len(pages)}"
+            )
+        state["i"] = i + 1
+        return pages[i]
+
+    return transport

@@ -13,8 +13,10 @@ from .presence import key_presence, matches_all, missing_by_file, source_keys
 from .conflicts import conflicts, first_row_per_key, melt
 from .mapping import column_overlap, field_mapping_scores, pick_mappings
 from .deltas import deltas
+from .pipeline import validate_sources
 
 __all__ = [
+    "validate_sources",
     "source_keys",
     "key_presence",
     "matches_all",

@@ -570,12 +570,11 @@ def main() -> None:
                 "query_steal_pct": query_steal,
                 "query_attempts": query_attempts,
     }
-    print(json.dumps(record))
     # Persist the FULL record in-repo (VERDICT r03 #1): the driver
-    # archives only a ~2KB tail of stdout, which truncated the r03
-    # record to "parsed": null. BENCH/bench_last.json is the durable
-    # copy any headline claim in BENCH/BASELINE.md must cite (the
-    # scaling mode already persists BENCH/scaling_last.json).
+    # archives only a ~2KB tail of stdout, which truncated the r03 AND
+    # r04 records to "parsed": null. BENCH/bench_last.json is the
+    # durable copy any headline claim in BENCH/BASELINE.md must cite
+    # (the scaling mode already persists BENCH/scaling_last.json).
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
                 exist_ok=True)
     with open(
@@ -583,7 +582,27 @@ def main() -> None:
                      "BENCH", "bench_last.json"), "w"
     ) as f:
         json.dump(record, f, indent=2)
-    _append_history(record)
+    if os.environ.get("SPARK_GRAFT_NO_HISTORY") != "1":
+        _append_history(record)
+    # VERDICT r04 #2: the final stdout line is a COMPACT record that
+    # fits the driver's tail capture — contract fields + the image-pass
+    # essentials + a pointer to the full dict. Per-query load/steal/
+    # attempt diagnostics are file-only.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": queries,
+        "sf": record["sf"],
+        "images_validated_per_sec": record["images_validated_per_sec"],
+        "n_images": record["n_images"],
+        "image_pass_walls": record["image_pass_walls"],
+        "image_pass_probe_before_sec": record["image_pass_probe_before_sec"],
+        "image_pass_probe_after_sec": record["image_pass_probe_after_sec"],
+        "suite_probe_sec": record["suite_probe_sec"],
+        "full_record": "BENCH/bench_last.json",
+    }
+    print(json.dumps(compact))
 
 
 def _append_history(record: dict) -> None:

@@ -100,9 +100,72 @@ def video_rules() -> list:
     ]
 
 
+def connector_sources(spark, cfg: dict) -> dict:
+    """Build the {label: (DataFrame, key_col)} mapping from a
+    --validate-connectors config: each source entry names a type
+    (servicenow | graph | csv | parquet), its key column, and either
+    live connection params or a ``replay`` file of recorded pages
+    (sources/connectors.replay_transport) for offline re-validation."""
+    from assetdatavalidationtool_spark.sources.asset_csv import read_asset_table
+    from assetdatavalidationtool_spark.sources.connectors import (
+        GraphConnector,
+        ServiceNowConnector,
+        replay_transport,
+    )
+
+    sources: dict = {}
+    for s in cfg["sources"]:
+        label, typ, key = s["label"], s["type"], s["key"]
+        transport = replay_transport(s["replay"]) if s.get("replay") else None
+        if typ == "servicenow":
+            df = ServiceNowConnector(
+                s["base_url"], s["table"], auth_token=s.get("auth_token"),
+                page_size=s.get("page_size", 500), query=s.get("query"),
+                fields=s.get("fields"), transport=transport,
+            ).to_df(spark, label)
+        elif typ == "graph":
+            df = GraphConnector(
+                s["base_url"], auth_token=s.get("auth_token"),
+                select=s.get("select"), filter=s.get("filter"),
+                page_size=s.get("page_size", 500), transport=transport,
+            ).to_df(spark, label)
+        elif typ == "csv":
+            df = read_asset_table(spark, s["path"], order_column="_row")
+        elif typ == "parquet":
+            df = spark.read.parquet(s["path"]).withColumn(
+                "_row", F.monotonically_increasing_id()
+            )
+        else:
+            raise ValueError(f"unknown source type {typ!r} for {label!r}")
+        sources[label] = (df, key)
+    return sources
+
+
+def run_connector_validation(args) -> None:
+    """The MainForm workflow as a CLI mode: labeled sources (connectors
+    and/or files) -> presence/conflicts suite -> report tables."""
+    from assetdatavalidationtool_spark.validation import validate_sources
+
+    with open(args.validate_connectors) as f:
+        cfg = json.load(f)
+    spark = get_spark(cores=args.cores, app_name="connector_validation")
+    sources = connector_sources(spark, cfg)
+    counts = validate_sources(
+        spark, sources, args.output,
+        order_col=cfg.get("order_col", "_row"),
+        preview_limit=cfg.get("preview_limit", 100),
+    )
+    print(json.dumps({
+        "mode": "validate_connectors",
+        "sources": list(sources),
+        **counts,
+        "output": args.output,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", required=True)
+    ap.add_argument("--images", required=False, default=None)
     ap.add_argument("--captions", default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run_0")
@@ -125,7 +188,19 @@ def main() -> None:
                     "that run in the same --output as the drift reference "
                     "(validate-against-last-known-good); binning spec is "
                     "read from the snapshot's metadata")
+    ap.add_argument("--validate-connectors", default=None, metavar="CONFIG.json",
+                    help="run the cross-source asset-validation suite "
+                    "(KeyPresence/MatchesAll/MissingByFile/Conflicts) over "
+                    "the labeled sources in CONFIG instead of the "
+                    "image-table rule set; sources may be REST connectors "
+                    "(live or --replay page recordings), CSV, or parquet")
     args = ap.parse_args()
+
+    if args.validate_connectors:
+        run_connector_validation(args)
+        return
+    if not args.images:
+        ap.error("--images is required (unless --validate-connectors)")
 
     spark = get_spark(cores=args.cores, app_name=f"validation_{args.run_id}")
     images = spark.read.parquet(args.images)

@@ -160,3 +160,47 @@ def test_cli_video_modality(spark, tmp_path_factory):
     )
     assert r["rules_run"] == 4
     assert r["total_violations"] >= 2  # the corrupt videos
+
+
+def test_cli_validate_connectors(spark, tmp_path_factory):
+    """The MainForm workflow end-to-end from the CLI: a config of
+    labeled sources (two replayed REST connectors + one CSV file) ->
+    presence/conflicts suite -> report tables + Summary counts on
+    stdout."""
+    d = tmp_path_factory.mktemp("cli_conn")
+    (d / "sn.json").write_text(json.dumps([{"result": [
+        {"serial_number": "S1", "name": "h1", "os": "linux"},
+        {"serial_number": "S2", "name": "h2", "os": "windows"},
+    ]}]))
+    (d / "graph.json").write_text(json.dumps([{"value": [
+        {"serialNumber": "s1", "name": "h1", "os": "macos"},
+        {"serialNumber": "S3", "name": "h3", "os": "linux"},
+    ]}]))
+    (d / "inv.csv").write_text(
+        "Serial Number,name,os\nS1,h1,linux\nS2,h2,windows\nS3,h3,linux\n"
+    )
+    out = str(tmp_path_factory.mktemp("cli_conn_out"))
+    cfg = {
+        "sources": [
+            {"label": "ServiceNow", "type": "servicenow", "key": "serial_number",
+             "base_url": "https://sn.example", "table": "cmdb_ci",
+             "replay": str(d / "sn.json")},
+            {"label": "AzureAD", "type": "graph", "key": "serialNumber",
+             "base_url": "https://graph.example/devices",
+             "replay": str(d / "graph.json")},
+            {"label": "Inventory", "type": "csv", "key": "Serial Number",
+             "path": str(d / "inv.csv")},
+        ]
+    }
+    (d / "cfg.json").write_text(json.dumps(cfg))
+    r = _run_cli("--validate-connectors", str(d / "cfg.json"),
+                 "--output", out, "--cores", "4")
+    assert r["mode"] == "validate_connectors"
+    assert r["sources"] == ["ServiceNow", "AzureAD", "Inventory"]
+    # S1-3 all exist in Inventory; MatchesAll = only S1 (in all three);
+    # missing: S2 from AzureAD, S3 from ServiceNow
+    assert r["KeyPresence"] == 3 and r["MatchesAll"] == 1
+    assert r["MissingByFile"] == 2
+    # os conflicts on S1 (linux/macos/linux)
+    assert r["Conflicts"] == 1
+    assert os.path.isdir(f"{out}/Summary")

@@ -83,8 +83,8 @@ def test_connector_scaffolds(spark):
         [{"name": "h1", "os": "linux"}, {"name": "h2", "ip": "10.0.0.2"}],
         "cmdb",
     )
-    # dynamic header growth + "" padding + source label
-    assert set(df.columns) == {"name", "os", "ip", "_source"}
+    # dynamic header growth + "" padding + source label + fetch order
+    assert set(df.columns) == {"name", "os", "ip", "_source", "_row"}
     rows = {r["name"]: r for r in df.collect()}
     assert rows["h1"]["ip"] == "" and rows["h2"]["os"] == ""
     with pytest.raises(NotImplementedError):
@@ -119,7 +119,7 @@ def test_servicenow_connector_pagination_and_pushdown(spark):
     df = c.to_df(spark, "snow")
     assert len(calls) == 2
     assert "/api/now/table/cmdb_ci?" in calls[0][0]
-    assert df.count() == 4 and set(df.columns) == {"name", "ip", "_source"}
+    assert df.count() == 4 and set(df.columns) == {"name", "ip", "_source", "_row"}
 
 
 def test_graph_connector_follows_next_link(spark):
@@ -459,3 +459,59 @@ def test_pagination_guard_fires_only_when_pages_remain():
     with _pytest.raises(RuntimeError, match="exceeded"):
         ServiceNowConnector("https://sn.example", "cmdb_ci", page_size=2,
                             transport=sn_endless, max_pages=3).fetch_rows()
+
+
+def test_connector_to_engine_validation_path(spark, tmp_path):
+    """The reference's actual integration path: connector pages with
+    dynamic headers -> rows_to_df -> Validator
+    (ServiceNowClient.cs:56-64 feeding Validator.cs:20-30). Two fake
+    sources with different PK spellings and planted faults: one serial
+    per side missing from the other, one shared serial with a
+    conflicting os value."""
+    import json as _json
+
+    from assetdatavalidationtool_spark.sources.connectors import (
+        GraphConnector,
+        ServiceNowConnector,
+        replay_transport,
+    )
+    from assetdatavalidationtool_spark.validation import validate_sources
+
+    sn_pages = tmp_path / "sn.json"
+    sn_pages.write_text(_json.dumps([{"result": [
+        {"serial_number": "S1", "name": "h1", "os": "linux"},
+        {"serial_number": "S2", "name": "h2", "os": "windows"},
+    ]}]))
+    gr_pages = tmp_path / "graph.json"
+    gr_pages.write_text(_json.dumps([{"value": [
+        {"serialNumber": "s1", "name": "h1", "os": "macos"},
+        {"serialNumber": "S3", "name": "h3", "os": "linux"},
+    ]}]))
+
+    sn = ServiceNowConnector("https://sn.example", "cmdb_ci",
+                             transport=replay_transport(str(sn_pages)))
+    gr = GraphConnector("https://graph.example/devices",
+                        transport=replay_transport(str(gr_pages)))
+    sources = {
+        "ServiceNow": (sn.to_df(spark, "ServiceNow"), "serial_number"),
+        "AzureAD": (gr.to_df(spark, "AzureAD"), "serialNumber"),
+    }
+    out = str(tmp_path / "report")
+    counts = validate_sources(spark, sources, out)
+
+    # presence: S1 matches case-insensitively; S2/S3 are one-sided
+    assert counts["KeyPresence"] == 3
+    assert counts["MatchesAll"] == 1
+    assert counts["MissingByFile"] == 2
+    missing = {
+        (r["key"], r["source"])
+        for r in spark.read.parquet(f"{out}/MissingByFile").collect()
+    }
+    assert missing == {("S2", "AzureAD"), ("S3", "ServiceNow")}
+
+    # conflicts: os disagrees on the shared serial; name agrees;
+    # _source/_row never enter the column intersection
+    conf = spark.read.parquet(f"{out}/Conflicts").collect()
+    assert [(r["key"], r["column"], r["n_distinct_values"]) for r in conf] == [
+        ("S1", "os", 2)
+    ]
