@@ -747,10 +747,11 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=4)
 
 
-@register(
-    "dedup_minhash_lsh",
-    "WITH "
-    + _SH_CTE.format(where="")
+# LSH CTE chain (shingles → signatures → bands → hot-bucket drop),
+# shared by the pair query and the clustering/canonical queries built on
+# top of the same candidate pairs.
+_LSH_CTES = (
+    _SH_CTE.format(where="")
     + f"""
     , sig AS (
       SELECT doc_id,
@@ -767,12 +768,17 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bd.doc_id, bd.band, bd.bkey FROM banded bd
       LEFT JOIN hot h ON bd.band = h.band AND bd.bkey = h.bkey
       WHERE h.band IS NULL
-    )
+    )"""
+)
+
+_LSH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM kept a
     JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    """,
-)
+"""
+
+
+@register("dedup_minhash_lsh", "WITH " + _LSH_CTES + _LSH_PAIRS_SELECT)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mega-bucket guard ON (and mirrored in the oracle): buckets above 50
     # docs are near-certain boilerplate clusters that would emit O(n²)
@@ -780,6 +786,100 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, num_hashes=8, bands=4, max_bucket_size=50,
+    )
+
+
+# --- dedup clustering: LSH pairs → connected components → canonical ---
+# The recursive oracle computes, for every node, the set of labels
+# reachable over the symmetric edge set; min(label) per node is the
+# component id — exactly what iterative min-label propagation converges
+# to in the Spark operator.
+_CC_CTES = (
+    _LSH_CTES
+    + f"""
+    , pairs AS ({_LSH_PAIRS_SELECT}),
+    edges AS (
+      SELECT doc_a AS esrc, doc_b AS edst FROM pairs
+      UNION
+      SELECT doc_b AS esrc, doc_a AS edst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT esrc AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.edst AS node, r.lbl FROM reach r JOIN edges e ON e.esrc = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+)
+
+
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _CC_CTES + "\n    SELECT doc_id, cluster_id FROM cc",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=8, bands=4, max_bucket_size=50,
+    )
+    return connected_components(pairs)
+
+
+@register(
+    "dedup_canonical",
+    "WITH RECURSIVE "
+    + _CC_CTES
+    + """
+    , j AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM cc c JOIN documents d USING (doc_id)
+    ), r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars, n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import canonical_docs, connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, max_bucket_size=50
+    )
+    clusters = connected_components(pairs)
+    return canonical_docs(clusters, docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+
+
+# --- deterministic (stratified) hash sampling ---
+_SAMPLE_HASH = "('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT"
+
+@register(
+    "corpus_hash_sample",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (lang = 'en' AND {_SAMPLE_HASH} % 4 = 0)
+       OR (lang = 'zh' AND {_SAMPLE_HASH} % 3 = 0)
+       OR (lang NOT IN ('en', 'zh') AND {_SAMPLE_HASH} % 2 = 0)
+    """,
+)
+def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # downsample the dominant language hardest — the standard corpus
+    # rebalancing move, decided by a stable hash so the subset is
+    # reproducible across runs/engines/partitionings
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 4, "zh": 3}, default_one_in=2
     )
 
 
@@ -965,12 +1065,14 @@ from .operators.text import STOPWORDS  # noqa: E402
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-@register(
-    "text_quality",
-    f"""
-    WITH t AS (
-      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
-    ), r AS (
+# quality CTE chain over a parameterizable doc source — shared by the
+# text_quality query (over `documents`) and the corpus pipeline (over
+# documents ∪ planted dups)
+def _quality_ctes(docs_rel: str = "documents") -> str:
+    return f"""
+    qt AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM {docs_rel}
+    ), qr AS (
       SELECT doc_id, text,
         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
               * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
@@ -978,18 +1080,89 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
               * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
         round(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
               * 1.0 / greatest(len(tk), 1), 4) AS stopword_ratio
-      FROM t
-    )
-    SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
-      round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END) * 0.4
-            + least(stopword_ratio * 4.0, 1.0) * 0.3
-            + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
-            + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 4) AS quality
-    FROM r
+      FROM qt
+    ), qual AS (
+      SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
+        round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END) * 0.4
+              + least(stopword_ratio * 4.0, 1.0) * 0.3
+              + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+              + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 4) AS quality
+      FROM qr
+    )"""
+
+
+@register(
+    "text_quality",
+    "WITH "
+    + _quality_ctes()
+    + """
+    SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio, quality FROM qual
     """,
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- end-to-end corpus preparation pipeline ---
+# The flagship training-data flow composed from the individual
+# operators: inject exact dups (same planting as dedup_exact so the
+# dedup stage is non-vacuous) → quality gate → exact dedup keeping the
+# smallest doc_id per fingerprint → per-language corpus stats. Portable
+# rounding (floor(x*1e4+0.5)/1e4) on the avg, BIGINT cast on the sum
+# (DuckDB sums BIGINT into HUGEINT).
+@register(
+    "corpus_dedup_pipeline",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+      FROM documents WHERE doc_id % 50 = 0
+    ), """
+    + _quality_ctes("all_docs")
+    + """
+    , base AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+      FROM all_docs d JOIN qual q USING (doc_id)
+      WHERE q.quality >= 0.75
+    ), canon AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars
+    FROM canon GROUP BY lang
+    """,
+)
+def q_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.dedup import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    dup = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    all_docs = docs.unionByName(dup)
+    qual = quality_score(all_docs, "doc_id", "text").select("doc_id", "quality")
+    base = (
+        all_docs.join(qual, "doc_id")
+        .where(F.col("quality") >= 0.75)
+        .select(
+            "doc_id", "lang", "n_chars", fingerprint_col(F.col("text")).alias("fp")
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = base.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return canon.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)) / 10000).alias("avg_chars"),
+    )
 
 
 _LANG_HITS = {

@@ -5,6 +5,8 @@ results are engine-portable (the DuckDB oracles mirror it exactly).
 """
 
 from .dedup import (
+    canonical_docs,
+    connected_components,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -12,10 +14,15 @@ from .dedup import (
     shingle,
     simhash,
 )
+from .sampling import hash_sample, stratified_hash_sample
 from .similarity import brute_force_cosine_topk, embedding_norms, lsh_buckets
 from .text import fingerprint, language_id, quality_score, token_stats
 
 __all__ = [
+    "canonical_docs",
+    "connected_components",
+    "hash_sample",
+    "stratified_hash_sample",
     "exact_duplicates",
     "shingle",
     "ngram_jaccard_pairs",

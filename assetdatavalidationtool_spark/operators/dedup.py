@@ -248,6 +248,133 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph →
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum member
+    id of the component. This is the step that turns near-dup PAIRS
+    (from LSH / Jaccard / SimHash) into dedup GROUPS: keep one doc per
+    cluster, drop the rest.
+
+    Algorithm: iterative min-label propagation — ``label(v) ← min(
+    label(v), min over neighbors u of label(u))`` until fixpoint. Each
+    iteration is one equi-join + one aggregate, both on the node key,
+    so Spark reuses the hash partitioning across iterations. Duplicate
+    graphs have tiny diameter (near-dup clusters are dense), so the
+    loop converges in a handful of rounds; ``max_iterations`` is a
+    hard cap and non-convergence raises rather than returning a wrong
+    answer. At 10^12-edge scale the same loop applies after one
+    structural change — alternate large-star/small-star contraction
+    steps (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") to halve the diameter per round; the per-iteration
+    dataflow (join + min-aggregate) is identical.
+
+    Lineage discipline: every iteration materializes its label table
+    (persist + count) and drops the previous one, and the FINAL labels
+    are written to ``checkpoint_dir`` as parquet and re-read, so the
+    returned DataFrame is a clean scan — no 20-deep iterative lineage,
+    no cached RDD left pinned in the session (the exact leak class the
+    round-4 advice found in ruleset_verdicts). Production iterative
+    graph jobs (GraphX, GraphFrames) checkpoint for the same reason.
+    """
+    import tempfile
+
+    spark = pairs.sparkSession
+    e_fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+    e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
+    edges = e_fwd.unionByName(e_rev).distinct().persist()
+
+    labels = (
+        edges.select(F.col("esrc").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    labels.count()
+
+    converged = False
+    for _ in range(max_iterations):
+        neighbor_lbls = edges.join(
+            labels, edges["esrc"] == labels["node"]
+        ).select(F.col("edst").alias("node"), F.col("lbl"))
+        new_labels = (
+            neighbor_lbls.unionByName(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — component diameter exceeds the cap; raise "
+            "max_iterations or switch to large-star/small-star contraction"
+        )
+
+    out_dir = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
+    (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    labels.unpersist()
+    return spark.read.parquet(out_dir)
+
+
+def canonical_docs(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Canonical-document selection per duplicate cluster →
+    ``(cluster_id, kept_doc_id, kept_<order_col>, n_members)``.
+
+    The kept doc is the cluster member with the LARGEST ``order_col``
+    (e.g. ``n_chars`` — prefer the longest variant), ties broken by
+    smallest id — the standard "keep best copy" dedup policy. One join
+    (clusters are a tiny (id, cluster) projection of the corpus — the
+    join key is the doc id, so at scale this co-partitions with the
+    corpus' natural key) and one window per cluster; cluster cardinality
+    is bounded by the upstream LSH bucket cap, so the window partitions
+    cannot skew.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(docs.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(order_col), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col(order_col).alias(f"kept_{order_col}"),
+            "n_members",
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

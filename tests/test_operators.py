@@ -594,3 +594,95 @@ def test_ivf_topk_large_quantizer_join_path(spark):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert final.count("BroadcastNestedLoopJoin") >= 2  # corpus + probes
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pairs → connected components → canonical docs
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_merges_chains(spark):
+    # two components: {1,2,3,4} via a chain (forces >1 propagation
+    # round) and {10, 11}; 4 appears only on the dst side
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_leaves_no_cached_rdds(spark):
+    # the iterative loop persists per-iteration label tables; all of
+    # them must be unpersisted by return (the ruleset_verdicts leak
+    # class from the round-4 advice)
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    connected_components(pairs).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_canonical_docs_keeps_longest_then_smallest_id(spark):
+    from assetdatavalidationtool_spark.operators import (
+        canonical_docs,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    clusters = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (10, 50), (11, 40)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["kept_n_chars"], r["n_members"])
+        for r in canonical_docs(clusters, docs, "doc_id", "n_chars").collect()
+    }
+    # cluster 1: docs 2 and 3 tie on n_chars=300 → smaller id 2 wins
+    assert got == {1: (2, 300, 3), 10: (10, 50, 2)}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from assetdatavalidationtool_spark.operators import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 10).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(df.repartition(7), "doc_id", 10).collect()
+    )
+    assert a == b and len(a) > 0
+    # roughly 1/10 (binomial tolerance)
+    assert 120 < len(a) < 280
+
+
+def test_stratified_hash_sample_rates(spark):
+    from assetdatavalidationtool_spark.operators import stratified_hash_sample
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'zh' ELSE 'de' END AS lang",
+    )
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 5}, default_one_in=None)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["zh"] == 1000 and by_lang["de"] == 1000  # kept whole
+    assert 120 < by_lang["en"] < 280  # ~1/5 of 1000
+
+    # membership is a pure predicate: the plan is a single filter over
+    # the scan — no shuffle, no aggregation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
