@@ -274,14 +274,23 @@ def connected_components(
     Beyond") to halve the diameter per round; the per-iteration
     dataflow (join + min-aggregate) is identical.
 
-    Lineage discipline: every iteration materializes its label table
-    (persist + count) and drops the previous one, and the FINAL labels
-    are written to ``checkpoint_dir`` as parquet and re-read, so the
-    returned DataFrame is a clean scan — no 20-deep iterative lineage,
-    no cached RDD left pinned in the session (the exact leak class the
-    round-4 advice found in ruleset_verdicts). Production iterative
-    graph jobs (GraphX, GraphFrames) checkpoint for the same reason.
+    Lineage discipline: the label table is CHECKPOINTED to parquet every
+    iteration and re-read, so each iteration's logical plan has constant
+    size. This is not optional hygiene — without truncation the plan for
+    iteration k embeds TWO copies of iteration k-1's plan (the join side
+    and the union side), i.e. 2^k plan nodes: a 12-hop chain OOMs the
+    DRIVER during plan analysis long before any data is large (observed:
+    java heap exhaustion building plan strings at k≈12). Caching does
+    not help — persist stops recomputation, not plan growth. Production
+    iterative graph jobs (GraphX, GraphFrames) checkpoint for exactly
+    this reason. The label table is (node, lbl) — a compact projection,
+    pennies to round-trip even at 10^10 nodes; intermediate iteration
+    dirs are deleted as soon as superseded. The returned DataFrame is a
+    clean scan of the final checkpoint — no cached RDDs left pinned in
+    the session (the leak class the round-4 advice found in
+    ruleset_verdicts).
     """
+    import shutil
     import tempfile
 
     spark = pairs.sparkSession
@@ -289,23 +298,29 @@ def connected_components(
     e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
     edges = e_fwd.unionByName(e_rev).distinct().persist()
 
-    labels = (
+    root = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
+
+    def _checkpoint(df: DataFrame, it: int) -> DataFrame:
+        path = f"{root}/iter_{it}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    labels = _checkpoint(
         edges.select(F.col("esrc").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
-        .persist()
+        .withColumn("lbl", F.col("node")),
+        0,
     )
-    labels.count()
 
     converged = False
-    for _ in range(max_iterations):
+    for it in range(1, max_iterations + 1):
         neighbor_lbls = edges.join(
             labels, edges["esrc"] == labels["node"]
         ).select(F.col("edst").alias("node"), F.col("lbl"))
-        new_labels = (
+        new_labels = _checkpoint(
             neighbor_lbls.unionByName(labels.select("node", "lbl"))
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .agg(F.min("lbl").alias("lbl")),
+            it,
         )
         n_changed = (
             new_labels.alias("n")
@@ -313,28 +328,21 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
+        shutil.rmtree(f"{root}/iter_{it - 1}", ignore_errors=True)
         if n_changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — component diameter exceeds the cap; raise "
             "max_iterations or switch to large-star/small-star contraction"
         )
-
-    out_dir = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
-    (
-        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-        .write.mode("overwrite")
-        .parquet(out_dir)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
-    labels.unpersist()
-    return spark.read.parquet(out_dir)
 
 
 def canonical_docs(

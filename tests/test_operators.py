@@ -686,3 +686,52 @@ def test_stratified_hash_sample_rates(spark):
     # the scan — no shuffle, no aggregation
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_connected_components_property_vs_union_find(spark):
+    """Random edge lists vs a pure-Python union-find reference. Not
+    @given-decorated — one Spark job per example is too slow for
+    hypothesis's default budget; instead a fixed set of seeded random
+    graphs spanning the shapes that break naive propagation (chains,
+    stars, cycles, self-loops, disconnected singleton pairs)."""
+    import random
+
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    def uf_reference(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then min-id per component
+        comp = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        return {n: root for root, ns in comp.items() for n in ns}
+
+    rng = random.Random(42)
+    cases = [
+        [(i, i + 1) for i in range(12)],                      # long chain
+        [(0, i) for i in range(1, 10)],                       # star
+        [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)],     # two cycles
+        [(3, 3), (4, 5)],                                     # self-loop
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(25)],
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(40)],
+    ]
+    for edges in cases:
+        expect = uf_reference(edges)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expect, f"edges={edges}"
