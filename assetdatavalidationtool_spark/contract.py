@@ -1033,6 +1033,55 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN evaluation: per-query recall of the bucketed LSH path against the
+# exact brute-force top-k on the same bounded query block — the number
+# that decides whether the scale path is trustworthy before pointing it
+# at 10^12 rows. Both sides are deterministic, so recall itself is
+# oracle-exact.
+@register(
+    "similarity_lsh_recall",
+    f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]))) DESC,
+                          e.vec_id ASC) AS rank
+        FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 20) q, embeddings e
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), ann AS ({_LSH_ANN_SQL}),
+    base AS (SELECT query_id, count(*) AS n_truth FROM bf GROUP BY query_id),
+    hits AS (
+      SELECT bf.query_id, count(*) AS n_hit
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT b.query_id, b.n_truth, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 / b.n_truth, 4) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    """,
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_recall, lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = brute_force_cosine_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(20)), k=5
+    )
+    approx = lsh_ann_topk(
+        emb, "vec_id", "embedding", _PLANES,
+        k=5, max_bucket_size=_LSH_BUCKET_CAP, query_ids=list(range(20)),
+    )
+    return ann_recall(truth, approx)
+
+
 _TOKS_SQL = """list_filter(
       string_split_regex(
         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),

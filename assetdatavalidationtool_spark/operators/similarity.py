@@ -562,3 +562,37 @@ def train_ivf_centroids(
             ]
         cents = new_cents
     return cents
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against exact
+    ground truth → (query_id, n_truth, n_hit, recall). Both inputs are
+    (query_id, neighbor_id, ...) result sets.
+
+    This is the evaluation loop every ANN deployment needs: measure the
+    recall cost of the bucketed scale path on a bounded query sample
+    before trusting it at 10^12 rows. Both sides carry a bounded query
+    block, so every aggregate here is tiny; the expensive part is the
+    inputs, not this comparison.
+    """
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    base = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+                / F.col("n_truth"),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -735,3 +735,21 @@ def test_connected_components_property_vs_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expect, f"edges={edges}"
+
+
+def test_ann_recall_counts(spark):
+    from assetdatavalidationtool_spark.operators.similarity import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 99), (3, 30)], "query_id long, neighbor_id long"
+    )
+    got = {r["query_id"]: r for r in ann_recall(truth, approx).collect()}
+    # query 1: 1 of 2 truth neighbors found; query 2: none (no approx
+    # rows at all — must still appear with recall 0, not vanish);
+    # query 3 exists only in approx and must NOT appear
+    assert set(got) == {1, 2}
+    assert (got[1]["n_truth"], got[1]["n_hit"], got[1]["recall"]) == (2, 1, 0.5)
+    assert (got[2]["n_truth"], got[2]["n_hit"], got[2]["recall"]) == (2, 0, 0.0)
