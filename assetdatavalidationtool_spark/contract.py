@@ -1114,6 +1114,101 @@ from .operators.text import STOPWORDS  # noqa: E402
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+# --- PII scrub / vocabulary / chunking (training-pipeline text ops) ---
+from .operators.text import PII_PATTERNS  # noqa: E402
+
+_EMAIL_RE = PII_PATTERNS["email"]
+_PHONE_RE = PII_PATTERNS["phone"]
+
+@register(
+    "text_redact_pii",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0
+               THEN text || ' contact: user' || doc_id ||
+                    '@example.com or +1 555-123-4567'
+               ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{_PHONE_RE}', '[PHONE]', 'g') AS text_redacted,
+      len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+      len(regexp_extract_all(
+            regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+            '{_PHONE_RE}')) AS n_phones
+    FROM planted
+    """,
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant deterministic PII on every 25th doc so the scrub is
+    # non-vacuous (the synthetic corpus contains none)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted, "doc_id", "text")
+
+
+@register(
+    "corpus_vocabulary",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ), per_doc AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    )
+    SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_freq
+    FROM per_doc GROUP BY token
+    ORDER BY doc_freq DESC, token ASC LIMIT 50
+    """,
+)
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import corpus_vocabulary
+
+    return corpus_vocabulary(_t(spark, sf_dir, "documents"), "doc_id", "text", top_k=50)
+
+
+@register(
+    "corpus_token_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), n AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) <= 64 THEN 1
+                  ELSE CAST(ceil((len(tk) - 64) * 1.0 / 48) AS INT) + 1 END AS nc
+      FROM t
+    ), c AS (
+      SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS chunk_id FROM n
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+           array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def q_corpus_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_tokens
+
+    return chunk_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=64, stride=48
+    )
+
+
 # quality CTE chain over a parameterizable doc source — shared by the
 # text_quality query (over `documents`) and the corpus pipeline (over
 # documents ∪ planted dups)

@@ -129,3 +129,97 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         fingerprint_col(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# Conservative, portable PII patterns: email and North-American-style
+# phone numbers. Same regex dialect in Spark (Java) and DuckDB (RE2) —
+# no lookaround, no \b ambiguity across engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, text_redacted, n_emails, n_phones) — scrub emails and
+    phone numbers, counting removals. A pre-training corpus MUST pass
+    through a scrub stage; these two patterns are the deterministic,
+    engine-portable core (production adds NER-based scrubbing as a
+    mapInPandas stage on the same dataflow). Pure Column expressions —
+    the redaction runs in the scan stage at any scale."""
+    t = F.col(text_col)
+    emails = PII_PATTERNS["email"]
+    phones = PII_PATTERNS["phone"]
+    no_email = F.regexp_replace(t, emails, "[EMAIL]")
+    return spread_small_scan(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(no_email, phones, "[PHONE]").alias("text_redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(emails), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(phones), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
+
+
+def corpus_vocabulary(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """Top-k corpus vocabulary by document frequency →
+    (token, doc_freq, total_freq), ordered df desc / token asc.
+
+    One explode + two-level aggregate: per-(doc, token) counts shrink
+    map-side first, then the token-level aggregate is tiny (vocab-sized,
+    not corpus-sized). The final top-k is a sort over vocab rows only —
+    at 100 TB the only big shuffle is the (doc_id, token) aggregate,
+    which partial aggregation bounds at distinct-tokens-per-doc."""
+    per_doc = (
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"), F.sum("tf").alias("total_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sequence-packing prep: split each document's token stream into
+    overlapping chunks → (doc_id, chunk_id, n_tokens, chunk_text).
+
+    chunk i covers tokens [i*stride, i*stride + chunk_size); the last
+    chunk may be short; documents shorter than one chunk yield exactly
+    one chunk. The explode is a narrow per-row transformation (no
+    shuffle); downstream packing groups by target sequence length."""
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.when(
+        F.size(toks) <= chunk_size, F.lit(1)
+    ).otherwise(
+        F.ceil((F.size(toks) - F.lit(chunk_size)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("ctoks"),
+        ),
+    )
+    return (
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        )
+    )

@@ -753,3 +753,58 @@ def test_ann_recall_counts(spark):
     assert set(got) == {1, 2}
     assert (got[1]["n_truth"], got[1]["n_hit"], got[1]["recall"]) == (2, 1, 0.5)
     assert (got[2]["n_truth"], got[2]["n_hit"], got[2]["recall"]) == (2, 0, 0.0)
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from assetdatavalidationtool_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@example.co.uk or call +1 555-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io and c.d@e-f.org"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "[EMAIL]" in got[1]["text_redacted"] and "[PHONE]" in got[1]["text_redacted"]
+    assert "@" not in got[1]["text_redacted"] and "555" not in got[1]["text_redacted"]
+    assert got[2]["n_emails"] == 0 and got[2]["text_redacted"] == "no pii here at all"
+    assert got[3]["n_emails"] == 2
+
+
+def test_chunk_tokens_boundaries(spark):
+    from assetdatavalidationtool_spark.operators.text import chunk_tokens
+
+    text_113 = " ".join(f"w{i}" for i in range(113))
+    df = spark.createDataFrame(
+        [(1, text_113), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_tokens(df, "doc_id", "text", chunk_size=64, stride=48).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    one = sorted(got[1], key=lambda r: r["chunk_id"])
+    # 113 tokens, size 64 stride 48 → chunks at 0/48/96 covering 64/64/17
+    assert [r["n_tokens"] for r in one] == [64, 64, 17]
+    assert one[1]["chunk_text"].split(" ")[0] == "w48"
+    assert one[2]["chunk_text"].split(" ")[-1] == "w112"
+    assert got[2][0]["n_tokens"] == 2 and got[2][0]["chunk_id"] == 0
+    assert got[3][0]["n_tokens"] == 0 and got[3][0]["chunk_text"] == ""
+
+
+def test_corpus_vocabulary_ordering(spark):
+    from assetdatavalidationtool_spark.operators.text import corpus_vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    got = corpus_vocabulary(df, "doc_id", "text", top_k=2).collect()
+    # banana in 3 docs, apple in 1 (tf 2), cherry in 1 — top-2 breaks the
+    # df tie alphabetically: apple before cherry
+    assert [(r["token"], r["doc_freq"], r["total_freq"]) for r in got] == [
+        ("banana", 3, 3),
+        ("apple", 1, 2),
+    ]
