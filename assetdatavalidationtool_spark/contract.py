@@ -1374,6 +1374,86 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gap sessionization: one shuffle by user, two windows over one sort.
+# Gap arithmetic in integer microseconds (unix_micros / epoch_us) so the
+# 30-minute boundary is computed identically on every engine.
+@register(
+    "event_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM e
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events, min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", gap_minutes=30
+    )
+
+
+# as-of join: for every click, the latest error of the same user at or
+# before it. DuckDB's native ASOF JOIN is the oracle; the Spark side is
+# the union + window-fill pattern (one shuffle). Right side deduped per
+# (user, ts) in both engines so "latest" is unambiguous.
+@register(
+    "event_asof_error",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), errs AS (
+      SELECT user_id, ts, event_id AS err_event_id, value AS err_value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error'
+      ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts, e.err_event_id, e.err_value
+    FROM clicks c ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def q_event_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    werr = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(werr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("err_event_id"),
+            F.col("value").alias("err_value"),
+        )
+    )
+    return asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["err_event_id", "err_value"], suffix="",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deltas — baseline-vs-other cell mismatches via explicit column mapping
 # (ReportGenerator.cs:208-317). Baseline = customer; other = perturbed

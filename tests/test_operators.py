@@ -808,3 +808,78 @@ def test_corpus_vocabulary_ordering(spark):
         ("banana", 3, 3),
         ("apple", 1, 2),
     ]
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: events at 0, 29m59s (same session), then +31m (new)
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=29, seconds=59), 2),
+        (1, t0 + dt.timedelta(minutes=61), 3),
+        # user 2: single event
+        (2, t0, 4),
+        # user 1: exactly 30m gap after event 3 → SAME session (> gap
+        # starts a new one, == gap does not)
+        (1, t0 + dt.timedelta(minutes=91), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(df, "user_id", "ts", "event_id", 30).collect()
+    }
+    assert got[(1, 1)]["n_events"] == 2
+    assert got[(1, 2)]["n_events"] == 2  # events 3 and 5 (exactly-30m gap)
+    assert got[(2, 1)]["n_events"] == 1
+    assert len(got) == 3
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 10, t(2)), (4, 20, t(5))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(10, t(3), 100, 1.5), (10, t(10), 101, 2.5), (30, t(1), 102, 9.9)],
+        "user_id long, ts timestamp_ntz, rid long, rval double",
+    )
+    got = {
+        r["event_id"]: (r["rid"], r["rval"])
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload=["rid", "rval"], suffix="",
+        ).collect()
+    }
+    assert got[1] == (100, 1.5)   # latest right at/before 0:05 is 0:03
+    assert got[2] == (101, 2.5)   # equal timestamps match (inclusive)
+    assert got[3] == (None, None) # no right row at/before 0:02
+    assert got[4] == (None, None) # user 20 has no right rows at all
+    assert len(got) == 4
+
+
+def test_asof_join_single_shuffle(spark):
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(10, t0, 5)], "user_id long, ts timestamp_ntz, rid long"
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the key window; the union sides must not each
+    # re-shuffle (hashpartitioning appears once)
+    assert plan.count("Exchange hashpartitioning") == 1
