@@ -883,3 +883,62 @@ def test_asof_join_single_shuffle(spark):
     # one exchange for the key window; the union sides must not each
     # re-shuffle (hashpartitioning appears once)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-check against F.session_window — Spark's idiomatic session
+    aggregate (and the Structured Streaming path). Semantics differ only
+    at the exact-gap boundary (session_window's window end is exclusive,
+    ours is inclusive), so the fixture avoids exact-30m gaps; our
+    variant additionally numbers sessions per user, which
+    session_window does not provide."""
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(3):
+        for m in [0, 10, 25, 70, 75, 200]:
+            rows.append((u, t0 + dt.timedelta(minutes=m, seconds=u), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+
+    ours = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, "user_id", "ts", "event_id", 30).collect()
+    }
+    native = {
+        (r["user_id"], r["start"], r["end"], r["n"])
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert ours == native
+
+
+def test_sessionize_single_shuffle(spark):
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)],
+        "user_id long, ts timestamp_ntz, event_id long",
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", 30)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints the Final Plan followed by the Initial Plan;
+    # gate on the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    # hash partitioning on user_id satisfies the (user_id, session_seq)
+    # grouping (subset property) — both windows and the final aggregate
+    # ride ONE exchange
+    assert final.count("Exchange hashpartitioning") == 1
