@@ -1909,3 +1909,146 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = verdicts.collect()
     res["violations"].unpersist()
     return spark.createDataFrame(rows, verdicts.schema)
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup — bit-band LSH, pigeonhole-exact for Hamming <= 3
+# (north_star: "uniqueness on image_id/phash", "salted aggregation for
+#  phash skew"; reference exact-key analogue: src/Services/Validator.cs:39-42)
+# ---------------------------------------------------------------------------
+# The image table is derived deterministically from `orders` with
+# IDENTICAL int64 arithmetic on both engines: a 48-bit pseudo-pHash in
+# three 16-bit pieces (all intermediates < 2^63 — no overflow in either
+# engine), plus planted near-dup rows (XOR 0x10401 = bits {0,10,16},
+# Hamming 3) every 97th key and exact-dup rows every 131st.
+_PHASH_SQL = """
+WITH base AS (
+  SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+         ((k*40503+11)%65536)
+           + (((k*9973+12345)%65536)*65536)
+           + (((k*31+7)%65536)*4294967296) AS phash,
+         k
+  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+), tbl AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT 'dup_' || CAST(k AS VARCHAR), xor(phash, 66561) FROM base WHERE k % 97 = 0
+  UNION ALL
+  SELECT 'copy_' || CAST(k AS VARCHAR), phash FROM base WHERE k % 131 = 0
+), banded AS (
+  SELECT image_id, phash, b.band, (phash >> (16*b.band)) & 65535 AS bval
+  FROM tbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+), hot AS (
+  SELECT band, bval FROM banded GROUP BY band, bval HAVING count(*) > 200
+), kept AS (
+  SELECT bd.image_id, bd.phash, bd.band, bd.bval FROM banded bd
+  LEFT JOIN hot h ON bd.band = h.band AND bd.bval = h.bval
+  WHERE h.band IS NULL
+), pairs AS (
+  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+                  a.phash AS pa, b.phash AS pb
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bval = b.bval
+   AND a.image_id < b.image_id
+)
+SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(pa, pb)) <= 3
+"""
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (image_id, phash) table with planted near/exact
+    duplicates — the same rows the DuckDB oracle derives from orders."""
+    k = F.col("o_orderkey").cast("long")
+    phash = (
+        (k * 40503 + 11) % 65536
+        + ((k * 9973 + 12345) % 65536) * 65536
+        + ((k * 31 + 7) % 65536) * F.lit(4294967296)
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        phash.cast("long").alias("phash"),
+        k.alias("k"),
+    )
+    near = base.where(F.col("k") % 97 == 0).select(
+        F.concat(F.lit("dup_"), F.col("k").cast("string")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(66561)).alias("phash"),
+    )
+    exact = base.where(F.col("k") % 131 == 0).select(
+        F.concat(F.lit("copy_"), F.col("k").cast("string")).alias("image_id"),
+        F.col("phash"),
+    )
+    return base.select("image_id", "phash").unionByName(near).unionByName(exact)
+
+
+@register("phash_neardup", _PHASH_SQL)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.phash import phash_neardup_pairs
+
+    return phash_neardup_pairs(
+        _phash_table(spark, sf_dir),
+        "image_id", "phash", max_hamming=3, bands=4, max_bucket_size=200,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination — n-gram containment vs a held-out set
+# (asymmetric cousin of dedup_ngram_jaccard; GPT-3 appendix C-style
+#  decontamination. Benchmark side = every 37th doc; corpus = the rest
+#  PLUS planted contaminated docs: every other benchmark doc's text
+#  embedded verbatim inside filler, id shifted by 1,000,000 — those
+#  pairs score containment 1.0 by construction, so the query is
+#  non-vacuous at every scale factor.)
+# ---------------------------------------------------------------------------
+_CONTAM_DOCS_CTE = """
+    planted AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             'filler alpha beta ' || text || ' gamma delta filler' AS text
+      FROM documents WHERE doc_id % 74 = 0
+    ), alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM planted
+    ),
+"""
+
+_CONTAM_SQL = (
+    "WITH "
+    + _CONTAM_DOCS_CTE
+    + _SH_CTE.format(where="").replace("FROM documents ", "FROM alldocs ").lstrip("\n")
+    + """
+    , c_sh AS (SELECT doc_id, shingle FROM clean WHERE doc_id % 37 <> 0),
+    b_sh AS (SELECT doc_id AS bench_id, shingle FROM clean WHERE doc_id % 37 = 0),
+    hot AS (SELECT shingle FROM c_sh GROUP BY shingle HAVING count(*) > 1000),
+    ckept AS (SELECT c.doc_id, c.shingle FROM c_sh c
+              LEFT JOIN hot h USING (shingle) WHERE h.shingle IS NULL),
+    bsz AS (SELECT bench_id, count(*) AS bench_size FROM b_sh GROUP BY bench_id),
+    inter AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS intersection
+      FROM ckept c JOIN b_sh b ON c.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.bench_id, i.intersection, s.bench_size,
+           round(i.intersection * 1.0 / s.bench_size, 4) AS containment
+    FROM inter i JOIN bsz s USING (bench_id)
+    WHERE round(i.intersection * 1.0 / s.bench_size, 4) >= 0.5
+    """
+)
+
+
+@register("corpus_contamination", _CONTAM_SQL)
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 74 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("filler alpha beta "), F.col("text"), F.lit(" gamma delta filler")
+        ).alias("text"),
+    )
+    alldocs = docs.unionByName(planted)
+    return ngram_containment_pairs(
+        alldocs.where(F.col("doc_id") % 37 != 0),
+        alldocs.where(F.col("doc_id") % 37 == 0),
+        "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000,
+    )

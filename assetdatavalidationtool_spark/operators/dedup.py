@@ -414,3 +414,56 @@ def simhash(
         bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         packed = bit if packed is None else (packed + bit)
     return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def ngram_containment_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark-contamination check: for each (corpus doc, benchmark
+    doc) pair, the CONTAINMENT of the benchmark's n-gram shingle set in
+    the corpus doc — |corpus ∩ bench| / |bench| — flagged at
+    ``>= threshold``. Output: (doc_id, bench_id, intersection,
+    bench_size, containment).
+
+    This is the asymmetric cousin of n-gram Jaccard (`ngram_jaccard_
+    pairs`): a training document that embeds a whole benchmark item
+    scores ~1.0 here even when the document is long enough that its
+    Jaccard similarity to the item is tiny — exactly the case decontam
+    filters care about (GPT-3 appendix C / Dodge et al. 2021 use the
+    same n-gram-overlap-vs-benchmark formulation).
+
+    Scale shape: benchmark sets are small (10^3-10^5 items) next to the
+    corpus (10^12 docs), so the benchmark shingle side is broadcast —
+    the corpus shingle stream never shuffles; the only exchange is the
+    per-pair count aggregate. The stop-shingle df cap applies to the
+    CORPUS side only (boilerplate n-grams would fan out the join);
+    benchmark shingles are kept complete so the containment denominator
+    stays exact.
+    """
+    c_sh = shingle(corpus, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = c_sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        c_sh = c_sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    b_sh = shingle(bench, id_col, text_col, n).withColumnRenamed("doc_id", "bench_id")
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count("*").alias("bench_size"))
+
+    inter = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(F.broadcast(b_sizes), "bench_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("intersection") / F.col("bench_size"), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_id", "bench_id", "intersection", "bench_size", "containment")
+    )

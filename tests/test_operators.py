@@ -942,3 +942,139 @@ def test_sessionize_single_shuffle(spark):
     # grouping (subset property) — both windows and the final aggregate
     # ride ONE exchange
     assert final.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup (bit-band LSH, pigeonhole-exact)
+# ---------------------------------------------------------------------------
+def _ph_rows():
+    # base hashes far apart; planted near/exact dups around id 1
+    return [
+        ("a1", 0x0123456789ABCDEF),
+        ("a2", 0x0123456789ABCDEF ^ 0x10401),  # hamming 3 vs a1
+        ("a3", 0x0123456789ABCDEF),            # exact dup of a1
+        ("b1", 0x7EDCBA9876543210),
+        ("b2", 0x7EDCBA9876543210 ^ 0xF0F0),   # hamming 8 vs b1 — outside radius
+        ("c1", -0x4000000000000000),           # sign-bit territory
+        ("c2", (-0x4000000000000000) ^ 0x3),   # hamming 2 vs c1
+    ]
+
+
+def test_phash_neardup_planted_pairs(spark):
+    from assetdatavalidationtool_spark.operators.phash import phash_neardup_pairs
+
+    df = spark.createDataFrame(_ph_rows(), "image_id string, phash long")
+    got = {
+        (r.image_a, r.image_b): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert got == {("a1", "a2"): 3, ("a2", "a3"): 3, ("a1", "a3"): 0,
+                   ("c1", "c2"): 2}
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Pigeonhole exactness: the banded join finds EVERY pair within
+    the radius on a clustered random corpus (no guard; driver-side
+    brute force is the ground truth)."""
+    import itertools
+    import random
+
+    from assetdatavalidationtool_spark.operators.phash import phash_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = rng.getrandbits(64) - (1 << 63)
+        rows.append((f"x{i:03d}", base))
+        if i % 3 == 0:  # cluster: flip up to 4 random bits (unsigned domain)
+            u = base & ((1 << 64) - 1)
+            for _ in range(rng.randint(1, 4)):
+                u ^= 1 << rng.randrange(64)
+            rows.append((f"y{i:03d}", u - (1 << 64) if u >= (1 << 63) else u))
+    expect = set()
+    for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+        if bin((pa ^ pb) & ((1 << 64) - 1)).count("1") <= 3:
+            expect.add((min(ia, ib), max(ia, ib)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.image_a, r.image_b)
+        for r in phash_neardup_pairs(df, max_hamming=3, max_bucket_size=None).collect()
+    }
+    assert got == expect
+
+
+def test_phash_neardup_hot_bucket_guard(spark):
+    """A mega-bucket (here: hundreds of images sharing every band) is
+    dropped, not joined — its O(n^2) pairs never materialize."""
+    from assetdatavalidationtool_spark.operators.phash import phash_neardup_pairs
+
+    rows = [(f"h{i:04d}", 42) for i in range(300)]  # one 300-row cluster
+    rows += [("q1", 0x5A5A5A5A), ("q2", 0x5A5A5A5A ^ 0x1)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.image_a, r.image_b)
+        for r in phash_neardup_pairs(df, max_hamming=3, max_bucket_size=200).collect()
+    }
+    assert got == {("q1", "q2")}
+
+
+def test_phash_neardup_rejects_invalid_radius(spark):
+    from assetdatavalidationtool_spark.operators.phash import phash_neardup_pairs
+
+    df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (benchmark contamination)
+# ---------------------------------------------------------------------------
+def test_ngram_containment_embedded_benchmark(spark):
+    """A corpus doc that embeds a benchmark item verbatim scores 1.0
+    even though its Jaccard similarity is low; an unrelated doc scores
+    nothing."""
+    from assetdatavalidationtool_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro words here and more padding text " + bench_text
+        + " trailing filler goes on and on with many extra tokens today"
+    )
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "completely unrelated content about ramen bowls")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = ngram_containment_pairs(corpus, bench, "doc_id", "text", threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.bench_id, r.containment) == (1, 100, 1.0)
+    # the same pair is invisible to symmetric Jaccard at that threshold
+    both = corpus.unionByName(bench)
+    jac = ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    assert all({p.doc_a, p.doc_b} != {1, 100} for p in jac)
+
+
+def test_ngram_containment_df_cap_applies_to_corpus_only(spark):
+    """Boilerplate shingles shared by > max_shingle_df corpus docs are
+    dropped from the join, but the benchmark size (the denominator)
+    stays exact."""
+    from assetdatavalidationtool_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "click here to subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, boiler + " unique closing words")], "doc_id long, text string"
+    )
+    out = ngram_containment_pairs(
+        corpus, bench, "doc_id", "text", threshold=0.1, max_shingle_df=3
+    ).collect()
+    assert out == []  # every corpus shingle was boilerplate → no join rows

@@ -107,7 +107,7 @@ def test_dedup_contract_plans_carry_skew_guards(spark):
     mega-bucket caps appear as broadcast anti-joins in the physical
     plan — not as optional parameters someone remembered to pass."""
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "similarity_ivf_topk",
-                 "dedup_embedding_neardup"):
+                 "dedup_embedding_neardup", "phash_neardup"):
         p = plan(QUERIES[name].fn(spark, SF))
         assert "LeftAnti" in p, f"{name}: skew-guard anti-join missing from plan"
         assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
@@ -182,3 +182,27 @@ def test_ruleset_verdicts_reuses_persisted_violations(spark):
     # the orders parquet more than the rows_scanned aggregate needs
     head = p.split("InMemoryRelation")[0] if "InMemoryRelation" in p else p
     assert head.count("Scan parquet") <= 2
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark set is tiny next to the corpus (10^3-10^5 vs
+    10^12), so the shingle join and both bench-size joins must
+    broadcast — the corpus shingle stream may not shuffle for the
+    join. The only hash exchange allowed is the per-pair aggregate."""
+    p = plan(QUERIES["corpus_contamination"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    # corpus side reaches the bench join without a hash-partition
+    # exchange: every hashpartitioning exchange in this plan belongs to
+    # an aggregate (partial/final pair counts or the df-cap count),
+    # never to a SortMergeJoin on `shingle`.
+    assert "SortMergeJoin" not in p
+
+
+def test_phash_neardup_scan_excludes_everything_but_keys(spark):
+    """The near-dup plan moves (image_id, phash) only — at 10^12 rows
+    the band exchange is the entire data volume; image bytes must not
+    appear in any ReadSchema."""
+    p = plan(QUERIES["phash_neardup"].fn(spark, SF))
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert "bytes" not in line, line
