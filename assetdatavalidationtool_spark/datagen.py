@@ -146,6 +146,7 @@ def generate_images(
     dup_ids: int = 0,
     bad_pixel_ids: int = 0,
     null_dim_ids: int = 0,
+    near_phash_ids: int = 0,
 ) -> DataFrame:
     """Distributed deterministic images table with optional injected
     faults (FIXTURES.md §3), all derived from row index:
@@ -154,6 +155,9 @@ def generate_images(
     * rows [0, bad_pixel_ids)      → bytes re-encoded at coarse
       quantization (PSNR < 40 dB) — pixel-invariant violations
     * rows [0, null_dim_ids)       → w/h set to null — schema violations
+    * rows [0, near_phash_ids)     → re-emitted as ``near_<i>`` with
+      phash XOR 0b1011 (Hamming 3) — near-duplicate violations; all
+      other fields copied, so the row stays pixel/schema-clean
     """
     parts = partitions or spark.sparkContext.defaultParallelism
 
@@ -162,15 +166,20 @@ def generate_images(
             rows = []
             for i in pdf["id"].tolist():
                 i = int(i)
-                logical = i % n  # ids >= n are the duplicate re-emits
+                near = i >= n + dup_ids  # trailing range: near-dup re-emits
+                logical = (i - n - dup_ids) if near else (i % n)
                 r = make_row(logical, corrupt_pixels=logical < bad_pixel_ids)
-                if logical < null_dim_ids:
+                if near:
+                    r["image_id"] = f"near_{logical:012d}"
+                    u = (r["phash"] ^ 0b1011) & ((1 << 64) - 1)
+                    r["phash"] = u - (1 << 64) if u >= (1 << 63) else u
+                elif logical < null_dim_ids:
                     r["w"] = None
                     r["h"] = None
                 rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
 
-    total = n + dup_ids
+    total = n + dup_ids + near_phash_ids
     return spark.range(0, total, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 

@@ -24,6 +24,7 @@ from .row_invariant import RowInvariantRule
 from .drift import DriftRule
 from .audio import AudioInvariantRule
 from .video import VideoInvariantRule
+from .neardup import NearDuplicateRule
 
 __all__ = [
     "RuleContext",
@@ -37,4 +38,5 @@ __all__ = [
     "DriftRule",
     "AudioInvariantRule",
     "VideoInvariantRule",
+    "NearDuplicateRule",
 ]

@@ -27,6 +27,7 @@ from assetdatavalidationtool_spark.rules import (
     ReferentialRule,
     RowInvariantRule,
     SchemaRule,
+    NearDuplicateRule,
     StatsRule,
     UniquenessRule,
     VideoInvariantRule,
@@ -53,6 +54,7 @@ def default_rules(fmt_reference: dict[str, float]) -> list:
         ),
         UniquenessRule(["image_id"]),
         UniquenessRule(["phash"], salted=True),
+        NearDuplicateRule(),
         ReferentialRule(),
         RowInvariantRule(),
         StatsRule(columns=["w", "h", "fmt", "phash"]),

@@ -281,3 +281,48 @@ def test_audio_video_bad_id_degrades_per_row(spark):
     assert [(r["key"], r["detail"][:20]) for r in vvio] == [
         ("video_renamed", "frame mismatch min_p")
     ]
+
+
+def test_neardup_rule_counts(spark):
+    """near_phash_ids planted pairs: each planted near row pairs with
+    its base (Hamming 3), two violation rows per pair (one per member);
+    the clean remainder stays silent."""
+    from assetdatavalidationtool_spark.rules import NearDuplicateRule, RuleContext
+
+    images = generate_images(spark, 300, near_phash_ids=4)
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    vio = NearDuplicateRule().violations(ctx).collect()
+    assert len(vio) == 8  # 4 pairs x 2 members
+    keys = sorted(r["key"] for r in vio)
+    assert keys == sorted(
+        [f"img_{i:012d}" for i in range(4)] + [f"near_{i:012d}" for i in range(4)]
+    )
+    assert all("hamming=3" in r["detail"] for r in vio)
+    assert all(r["rule"] == "neardup(phash)" for r in vio)
+    # verdicts integrate through the standard spine
+    from assetdatavalidationtool_spark.rules import RuleSet
+
+    res = RuleSet([NearDuplicateRule()]).run(ctx)
+    total = res["verdicts"].agg(F.sum("violation_count")).first()[0]
+    res["violations"].unpersist()
+    assert total == 8
+
+
+def test_neardup_rule_ignores_exact_dup_reemits(spark):
+    """dup_ids re-emits share the SAME image_id — uniqueness territory,
+    not near-dup pairs (the strict id ordering excludes self-pairs)."""
+    from assetdatavalidationtool_spark.rules import NearDuplicateRule, RuleContext
+
+    images = generate_images(spark, 200, dup_ids=5)
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    assert NearDuplicateRule().violations(ctx).count() == 0
+
+
+def test_neardup_rule_not_bucket_aligned(spark):
+    """Cross-bucket pairs mean a bucket-grain resume must re-run the
+    whole rule — the manifest must classify it global."""
+    from assetdatavalidationtool_spark.manifest import rule_is_bucket_aligned
+    from assetdatavalidationtool_spark.rules import NearDuplicateRule, RuleContext
+
+    ctx = RuleContext(spark=spark, images=None, captions=None)
+    assert not rule_is_bucket_aligned(NearDuplicateRule(), ctx)
