@@ -2052,3 +2052,143 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         alldocs.where(F.col("doc_id") % 37 == 0),
         "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — range-based hash assignment
+# (reproducible-split contract of training pipelines; same md5-bucket
+#  arithmetic as corpus_hash_sample, so the oracle mirrors it exactly)
+# ---------------------------------------------------------------------------
+_SPLIT_HASH = "(('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 10000)"
+
+_SPLIT_SQL = f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_HASH} < 9000 THEN 'train'
+                  WHEN {_SPLIT_HASH} < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY lang, split
+"""
+
+
+@register("corpus_split_assign", _SPLIT_SQL)
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = assign_split(docs, "doc_id")  # 0.9 / 0.05 / 0.05
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring — Gopher-style duplicate token / 2-gram fractions
+# ---------------------------------------------------------------------------
+_REPETITION_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) >= 2
+               THEN list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CASE WHEN len(tk) > 0
+             THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 4)
+             ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(grams) > 0
+             THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+             ELSE 0.0 END AS dup_2gram_frac
+    FROM g
+"""
+
+
+@register("text_repetition", _REPETITION_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — chunks → fixed-budget bins (greedy per-lane cumsum)
+# ---------------------------------------------------------------------------
+_PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), n AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) <= 64 THEN 1
+                  ELSE CAST(ceil((len(tk) - 64) * 1.0 / 48) AS INT) + 1 END AS nc
+      FROM t
+    ), c AS (
+      SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS chunk_id FROM n
+    ), ch AS (
+      SELECT (('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8) AS lane,
+             doc_id, chunk_id,
+             len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens
+      FROM c
+    ), b AS (
+      SELECT lane, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lane ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM ch
+    )
+    SELECT lane, CAST(floor(cumb / 256.0) AS BIGINT) AS bin_id,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY lane, bin_id
+"""
+
+
+@register("corpus_pack_bins", _PACK_SQL)
+def q_corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_tokens, pack_chunks
+
+    chunks = chunk_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=64, stride=48
+    )
+    return pack_chunks(chunks, budget=256, n_lanes=8)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality tiers — unigram corpus LM, integer micro-nats
+# ---------------------------------------------------------------------------
+_LM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM vocab
+    ), cost AS (
+      SELECT token,
+             CAST(floor(ln(total * 1.0 / cnt) * 1e6 + 0.5) AS BIGINT) AS cost
+      FROM vocab, tot
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(cost) AS sum_cost
+      FROM toks JOIN cost USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           floor(sum_cost * 1.0 / n_tokens / 100 + 0.5) / 1e4 AS avg_nll,
+           CAST(ntile(3) OVER (
+             ORDER BY floor(sum_cost * 1.0 / n_tokens / 100 + 0.5) / 1e4, doc_id
+           ) AS INT) AS ppl_bucket
+    FROM per_doc
+"""
+
+
+@register("text_lm_quality", _LM_SQL)
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")

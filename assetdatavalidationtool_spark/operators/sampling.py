@@ -74,3 +74,44 @@ def stratified_hash_sample(
         default_keep = others & (bucket(default_one_in) == 0)
     keep = default_keep if keep is None else keep | default_keep
     return df.where(keep)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "split",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Add a ``split`` column assigning every row to exactly one named
+    split (train/val/test by default) from a stable hash of ``id_col``.
+
+    Assignment is by cumulative integer thresholds over ``buckets``
+    hash buckets (floor(cum_fraction * buckets)), so the split is exact
+    to 1/buckets, deterministic, partition-invariant, and portable (the
+    SQL mirror computes the identical bucket). The LAST split absorbs
+    any rounding remainder so every row is assigned. A row's split
+    never changes when other splits' fractions are re-balanced only if
+    its own cumulative interval is unchanged — the standard contract of
+    range-based hash splitting.
+
+    One narrow CASE projection: no shuffle, pushes through the scan.
+    """
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    b = _hash_bucket(F.col(id_col), salt, buckets)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        thresh = int(cum * buckets)
+        branch = F.when(b < thresh, F.lit(name))
+        expr = branch if expr is None else expr.when(b < thresh, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -5,9 +5,10 @@ string builtins) — whole-stage codegen, no UDFs, SQL-mirrorable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import fingerprint_col, spread_small_scan
+from .sampling import _hash_bucket
 
 STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
@@ -222,4 +223,133 @@ def chunk_tokens(
             F.size("c.ctoks").alias("n_tokens"),
             F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
         )
+    )
+
+
+def repetition_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of duplicated tokens and duplicated word 2-grams. Highly
+    repetitive documents (keyword stuffing, boilerplate loops, decoding
+    failures) score near 1 and are standard quality-filter rejects.
+
+    dup_frac = 1 − |distinct occurrences| / |occurrences| — 0.0 for a
+    document with no repeats and for degenerate docs too short to form
+    an n-gram. Pure Column expressions (split/transform/array_distinct):
+    a narrow projection, no shuffle, no Python.
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr: F.Column) -> F.Column:
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(arr)) / total, 4),
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        dup_frac(toks).alias("dup_token_frac"),
+        dup_frac(grams).alias("dup_2gram_frac"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    n_lanes: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign token chunks (the output of :func:`chunk_tokens`) to
+    fixed-budget packing bins → one row per bin:
+    (lane, bin_id, n_chunks, bin_tokens).
+
+    Greedy sequential packing within independent *lanes*: each chunk is
+    routed to a lane by a stable hash of ``doc_id`` (a document's
+    chunks stay together), ordered by (doc_id, chunk_id) inside the
+    lane, and a bin boundary is drawn every ``budget`` tokens of
+    running total — ``bin_id = floor(exclusive_cumsum / budget)``. A
+    chunk straddling a boundary belongs to the bin its first token
+    falls in, so a bin may overrun by at most one chunk (the standard
+    overflow-then-truncate packing used for sequence-length batching).
+
+    Scale: ONE shuffle (hash-partition by lane) + a per-lane window
+    cumsum; lanes are mutually independent, so parallelism = n_lanes —
+    set n_lanes ≈ cluster cores at 10^12 rows. Integer-only arithmetic:
+    bit-identical on any engine.
+    """
+    lane = _hash_bucket(F.col("doc_id"), salt, n_lanes).alias("lane")
+    w = (
+        Window.partitionBy("lane")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        chunks.select(lane, "doc_id", "chunk_id", "n_tokens")
+        .withColumn("bin_id", F.floor(cum_before / budget))
+        .groupBy("lane", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): score every
+    document by its average negative log-likelihood under the corpus's
+    own unigram language model, then rank-bucket docs into ``n_buckets``
+    perplexity tiers (1 = head / most fluent … n = tail) →
+    (doc_id, n_tokens, avg_nll, ppl_bucket).
+
+    Production CCNet uses a KenLM 5-gram; the unigram model is the
+    deterministic, engine-portable core with the identical dataflow:
+    corpus token counts (vocab-sized aggregate) → per-token cost table →
+    broadcast join onto exploded tokens → per-doc aggregate.
+
+    Cross-engine exactness: per-token cost is pre-rounded to INTEGER
+    micro-nats (``floor(ln(total/cnt)·1e6 + 0.5)``), so per-doc sums are
+    exact BIGINT arithmetic — no float summation-order divergence; the
+    per-doc avg_nll is then a fixed sequence of IEEE double ops on
+    exact integers (correctly-rounded division, floor) — bit-identical
+    on any engine. The tier is ntile over (avg_nll, doc_id) with
+    deterministic ties. Docs with zero tokens have no likelihood and
+    are absent from the output. At 10^12 docs swap the exact ntile for
+    approxQuantile thresholds broadcast as literals (same contract).
+    """
+    toks_df = spread_small_scan(df).select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk")
+    )
+    exploded = toks_df.select("doc_id", F.explode("tk").alias("token"))
+    vocab = exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+    total_row = vocab.agg(F.sum("cnt").alias("total"))
+    cost = vocab.crossJoin(F.broadcast(total_row)).select(
+        "token",
+        F.floor(F.log(F.col("total") / F.col("cnt")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("cost"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(cost), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("cost").alias("sum_cost"))
+    )
+    avg_nll = F.floor(F.col("sum_cost") / F.col("n_tokens") / 100 + 0.5) / 1e4
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        avg_nll.alias("avg_nll"),
+        F.ntile(n_buckets)
+        .over(Window.orderBy(avg_nll, F.col("doc_id")))
+        .alias("ppl_bucket"),
     )

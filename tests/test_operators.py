@@ -1078,3 +1078,111 @@ def test_ngram_containment_df_cap_applies_to_corpus_only(spark):
         corpus, bench, "doc_id", "text", threshold=0.1, max_shingle_df=3
     ).collect()
     assert out == []  # every corpus shingle was boilerplate → no join rows
+
+
+def test_assign_split_exact_partition_and_determinism(spark):
+    """Every row gets exactly one split; fractions land within 1% of
+    target at 10k rows; assignment is identical across partitionings."""
+    from assetdatavalidationtool_spark.operators.sampling import assign_split
+
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    out = assign_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10000
+    assert abs(counts["train"] - 9000) < 100
+    assert abs(counts["val"] - 500) < 75 and abs(counts["test"] - 500) < 75
+    # partition-invariance: same rows, different layout, same assignment
+    a = {(r["doc_id"], r["split"]) for r in assign_split(df, "doc_id").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in assign_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_assign_split_validates_fractions(spark):
+    from assetdatavalidationtool_spark.operators.sampling import assign_split
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 0.7, "val": 0.2})  # sums to 0.9
+
+
+def test_repetition_score_flags_repeats(spark):
+    from assetdatavalidationtool_spark.operators.text import repetition_score
+
+    rows = [
+        (0, "spam spam spam spam spam"),                  # one token repeated
+        (1, "all words here are fully distinct tokens"),  # no repeats
+        (2, "ab"),                                        # too short for 2-grams
+        (3, ""),                                          # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_score(df, "doc_id", "text").collect()}
+    assert got[0]["dup_token_frac"] == 0.8      # 1 - 1/5
+    assert got[0]["dup_2gram_frac"] == 0.75     # 1 - 1/4
+    assert got[1]["dup_token_frac"] == 0.0 and got[1]["dup_2gram_frac"] == 0.0
+    assert got[2]["dup_2gram_frac"] == 0.0      # no grams, not NaN
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_token_frac"] == 0.0
+
+
+def test_pack_chunks_bin_assignment(spark):
+    """Bins fill to the budget with at most one straddling chunk of
+    overrun; every chunk lands in exactly one bin; counts conserve."""
+    from assetdatavalidationtool_spark.operators.text import pack_chunks
+
+    rows = [(d, c, 64) for d in range(4) for c in range(5)]  # 20×64 tokens
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens int")
+    out = pack_chunks(chunks, budget=100, n_lanes=1).collect()
+    assert sum(r["n_chunks"] for r in out) == 20
+    assert sum(r["bin_tokens"] for r in out) == 20 * 64
+    # budget 100, chunk 64: exclusive-cumsum boundaries → bins of 2
+    # chunks (128 tokens, the 2nd straddles) except a possible last
+    for r in out:
+        assert r["n_chunks"] in (1, 2)
+        assert r["bin_tokens"] <= 100 + 63  # ≤ budget + (chunk-1) overrun
+
+
+def test_pack_chunks_partition_invariant_and_lane_spread(spark):
+    """Bin assignment is identical under any input partitioning (lane
+    hash + in-lane order fully determine it), and lanes actually spread."""
+    from assetdatavalidationtool_spark.operators.text import pack_chunks
+
+    rows = [(d, c, 10) for d in range(50) for c in range(2)]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens int")
+    got = pack_chunks(chunks, budget=15, n_lanes=4).collect()
+    assert sum(r["n_chunks"] for r in got) == 100
+    lanes = {r["lane"] for r in got}
+    assert lanes <= {0, 1, 2, 3} and len(lanes) > 1
+    a = {tuple(r) for r in got}
+    b = {tuple(r) for r in pack_chunks(chunks.repartition(17), budget=15, n_lanes=4).collect()}
+    assert a == b
+
+
+def test_unigram_logprob_orders_rare_docs_last(spark):
+    """A doc made of corpus-rare tokens must carry higher avg_nll (and a
+    higher ppl tier) than one made of the dominant token."""
+    from assetdatavalidationtool_spark.operators.text import unigram_logprob
+
+    rows = (
+        [(i, "common common common common") for i in range(9)]
+        + [(100, "zxqv qvxz xqzv wwyy")]  # each rare token appears once
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert len(got) == 10
+    assert got[100]["avg_nll"] > got[0]["avg_nll"]
+    assert got[100]["ppl_bucket"] == 3 and got[0]["ppl_bucket"] == 1
+    # common-token docs: -ln(36/40) each token... all identical scores
+    assert got[0]["avg_nll"] == got[8]["avg_nll"]
+
+
+def test_unigram_logprob_skips_empty_docs(spark):
+    from assetdatavalidationtool_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    out = unigram_logprob(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {0}

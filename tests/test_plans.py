@@ -206,3 +206,15 @@ def test_phash_neardup_scan_excludes_everything_but_keys(spark):
     for line in p.splitlines():
         if "ReadSchema" in line:
             assert "bytes" not in line, line
+
+
+def test_phash_self_join_reuses_shuffle(spark):
+    """The band self-join's two sides are identical subplans and must
+    collapse into ONE shuffle via ReusedExchange — otherwise the band
+    build (the entire data volume at 10^12 rows) runs twice."""
+    df = QUERIES["phash_neardup"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
