@@ -2192,3 +2192,100 @@ def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Image metadata curation — quality gate + aspect-ratio bucketing
+# (deterministic (image_id, w, h, fmt, n_bytes) synthesized from orders
+#  with planted violations of every gate; integer arithmetic + one IEEE
+#  double division, identical on both engines)
+# ---------------------------------------------------------------------------
+_IMAGE_META_CTE = """
+    meta AS (
+      SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+             CASE WHEN k % 23 = 0 THEN NULL
+                  WHEN k % 41 = 0 THEN 10000
+                  ELSE (k*37) % 4096 + 32 END AS w,
+             (k*53) % 2048 + 48 AS h,
+             CASE k % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'webp' WHEN 3 THEN 'gif'
+                        ELSE 'PNG' END AS fmt,
+             (k*11) % 100000 + 16 AS n_bytes
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+    )
+"""
+
+_GATE_SQL = f"""
+    WITH {_IMAGE_META_CTE}, gated AS (
+      SELECT image_id,
+        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
+             WHEN least(w, h) < 64 THEN 'too_small'
+             WHEN greatest(w, h) > 8192 THEN 'too_large'
+             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
+             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+               THEN 'bad_format'
+             WHEN n_bytes < 128 THEN 'tiny_payload'
+        END AS reject_reason
+      FROM meta
+    )
+    SELECT image_id, reject_reason IS NULL AS passed, reject_reason
+    FROM gated
+"""
+
+_ASPECT_SQL = f"""
+    WITH {_IMAGE_META_CTE}, r AS (
+      SELECT image_id, w, h,
+             abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
+             abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
+             abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
+             abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
+             abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+      FROM meta
+    )
+    SELECT image_id,
+      CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
+           WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+           WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+           WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+           WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+           ELSE 'wide_16_9' END AS bucket
+    FROM r
+"""
+
+
+def _image_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _IMAGE_META_CTE — same rows, same types."""
+    k = F.col("o_orderkey").cast("long")
+    w = (
+        F.when(k % 23 == 0, F.lit(None).cast("long"))
+        .when(k % 41 == 0, F.lit(10000).cast("long"))
+        .otherwise((k * 37) % 4096 + 32)
+    )
+    fmt = (
+        F.when(k % 5 == 0, "png")
+        .when(k % 5 == 1, "jpeg")
+        .when(k % 5 == 2, "webp")
+        .when(k % 5 == 3, "gif")
+        .otherwise("PNG")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        w.alias("w"),
+        ((k * 53) % 2048 + 48).alias("h"),
+        fmt.alias("fmt"),
+        ((k * 11) % 100000 + 16).alias("n_bytes"),
+    )
+
+
+@register("image_gate", _GATE_SQL)
+def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import image_gate
+
+    return image_gate(_image_meta_table(spark, sf_dir))
+
+
+@register("image_aspect_buckets", _ASPECT_SQL)
+def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import aspect_buckets
+
+    return aspect_buckets(_image_meta_table(spark, sf_dir))

@@ -1,0 +1,108 @@
+"""Image-corpus curation operators: quality gating and aspect-ratio
+bucketing — the two metadata-level passes every large image-training
+pipeline runs BEFORE any pixel is decoded.
+
+The reference validates asset rows field-by-field (`src/Services/
+Validator.cs:20-42` — per-key presence, conflicts, normalization); for
+an image+caption corpus the analogous row-level screen is a metadata
+gate (resolution / aspect / format / payload-size bounds), and the
+analogous grouping pass is aspect bucketing (batching images of similar
+shape so a training batch shares one crop geometry — the "bucketed
+batching" of SDXL-style pipelines).
+
+Both are pure Column expressions over the metadata columns of the
+BASELINE.json input shape (image_id, w, h, fmt, ...) — the binary
+``bytes`` column never enters either plan, so at 10^12 rows these run
+in the scan stage at parquet-metadata speed: no shuffle, no Python, no
+decode. Cross-engine determinism: integer comparisons plus one IEEE
+double division (w/h — correctly rounded, bit-identical on any engine)
+and abs/least — no transcendental functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+# first-failing-gate order is part of the contract: a row rejected for
+# several reasons reports the FIRST one in this fixed order
+GATE_ORDER = ("null_dims", "too_small", "too_large", "extreme_aspect", "bad_format", "tiny_payload")
+
+DEFAULT_FORMATS = ("png", "jpeg", "webp")
+
+
+def image_gate(
+    df: DataFrame,
+    min_side: int = 64,
+    max_side: int = 8192,
+    max_aspect: int = 4,
+    formats: Sequence[str] = DEFAULT_FORMATS,
+    min_bytes: int = 128,
+) -> DataFrame:
+    """Metadata quality gate → (image_id, passed, reject_reason).
+
+    Gates, in report order: null/non-positive dims; min(w,h) < min_side;
+    max(w,h) > max_side; aspect ratio beyond max_aspect:1 either way
+    (integer cross-multiplication — no floats); format not in the
+    allow-list (case-insensitive); payload below min_bytes.
+    ``reject_reason`` is NULL for passing rows.
+
+    One narrow CASE projection; the predicate pushes into the scan, so
+    a downstream ``.where(passed)`` prunes row groups by the w/h/fmt
+    column statistics without touching the bytes column.
+    """
+    w, h = F.col("w"), F.col("h")
+    fmt_ok = F.lower(F.col("fmt")).isin(*[f.lower() for f in formats])
+    reason = (
+        F.when(w.isNull() | h.isNull() | (w <= 0) | (h <= 0), "null_dims")
+        .when(F.least(w, h) < min_side, "too_small")
+        .when(F.greatest(w, h) > max_side, "too_large")
+        .when((w > h * max_aspect) | (h > w * max_aspect), "extreme_aspect")
+        .when(~fmt_ok | F.col("fmt").isNull(), "bad_format")
+        .when(F.col("n_bytes") < min_bytes, "tiny_payload")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "image_id",
+        reason.isNull().alias("passed"),
+        reason.alias("reject_reason"),
+    )
+
+
+# (name, w:h ratio as a rational) — the SDXL-ish 5-bucket ladder
+DEFAULT_BUCKETS = (
+    ("tall_9_16", 9, 16),
+    ("portrait_3_4", 3, 4),
+    ("square_1_1", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("wide_16_9", 16, 9),
+)
+
+
+def aspect_buckets(
+    df: DataFrame,
+    buckets: Sequence[tuple[str, int, int]] = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Assign every image to its nearest aspect-ratio bucket →
+    (image_id, bucket) — the shard key for geometry-uniform batching.
+
+    Nearest = min |w/h − p/q| with ties broken by bucket-list order
+    (strict CASE chain over ``least``). w/h is a single IEEE-754
+    division of two integers — correctly rounded and therefore
+    bit-identical across engines — and the bucket ratios are exact
+    double literals, so assignment is deterministic everywhere. Rows
+    with null/non-positive dims get bucket NULL (gate them out first).
+
+    Still a narrow projection: the downstream
+    ``repartition(bucket)``/write-partitioned-by is the only shuffle a
+    real pipeline adds, and it is the intended one.
+    """
+    w, h = F.col("w"), F.col("h")
+    ratio = w.cast("double") / h.cast("double")
+    dists = [(name, F.abs(ratio - F.lit(p / q))) for name, p, q in buckets]
+    best = F.least(*[d for _, d in dists])
+    assign = F.when(w.isNull() | h.isNull() | (w <= 0) | (h <= 0), F.lit(None).cast("string"))
+    for name, d in dists:
+        assign = assign.when(d == best, F.lit(name))
+    return df.select("image_id", assign.alias("bucket"))

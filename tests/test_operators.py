@@ -1186,3 +1186,45 @@ def test_unigram_logprob_skips_empty_docs(spark):
     )
     out = unigram_logprob(df, "doc_id", "text").collect()
     assert {r["doc_id"] for r in out} == {0}
+
+
+def test_image_gate_first_failing_reason_order(spark):
+    from assetdatavalidationtool_spark.operators.images import image_gate
+
+    rows = [
+        ("ok", 512, 512, "png", 5000),
+        ("null", None, 512, "png", 5000),        # null_dims
+        ("small+gif", 32, 512, "gif", 5000),      # too_small wins over bad_format
+        ("big", 9000, 512, "png", 5000),          # too_large
+        ("aspect", 4100, 1000, "png", 5000),      # >4:1
+        ("fmt", 512, 512, "bmp", 5000),           # bad_format
+        ("tiny", 512, 512, "PNG", 64),            # tiny_payload (fmt case-insensitive)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w long, h long, fmt string, n_bytes long"
+    )
+    got = {r["image_id"]: r for r in image_gate(df).collect()}
+    assert got["ok"]["passed"] and got["ok"]["reject_reason"] is None
+    assert got["null"]["reject_reason"] == "null_dims"
+    assert got["small+gif"]["reject_reason"] == "too_small"
+    assert got["big"]["reject_reason"] == "too_large"
+    assert got["aspect"]["reject_reason"] == "extreme_aspect"
+    assert got["fmt"]["reject_reason"] == "bad_format"
+    assert got["tiny"]["reject_reason"] == "tiny_payload"
+
+
+def test_aspect_buckets_nearest_and_null(spark):
+    from assetdatavalidationtool_spark.operators.images import aspect_buckets
+
+    rows = [
+        ("sq", 500, 500), ("p34", 600, 800), ("t916", 900, 1600),
+        ("l43", 800, 600), ("w169", 1600, 900), ("ultra", 4000, 500),
+        ("nul", None, 100),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w long, h long")
+    got = {r["image_id"]: r["bucket"] for r in aspect_buckets(df).collect()}
+    assert got["sq"] == "square_1_1" and got["p34"] == "portrait_3_4"
+    assert got["t916"] == "tall_9_16" and got["l43"] == "landscape_4_3"
+    assert got["w169"] == "wide_16_9"
+    assert got["ultra"] == "wide_16_9"   # clamps to the widest bucket
+    assert got["nul"] is None
