@@ -24,6 +24,7 @@ from .row_invariant import RowInvariantRule
 from .drift import DriftRule
 from .audio import AudioInvariantRule
 from .video import VideoInvariantRule
+from .gate import MetadataGateRule
 from .neardup import NearDuplicateRule
 
 __all__ = [
@@ -38,5 +39,6 @@ __all__ = [
     "DriftRule",
     "AudioInvariantRule",
     "VideoInvariantRule",
+    "MetadataGateRule",
     "NearDuplicateRule",
 ]

@@ -27,6 +27,7 @@ from assetdatavalidationtool_spark.rules import (
     ReferentialRule,
     RowInvariantRule,
     SchemaRule,
+    MetadataGateRule,
     NearDuplicateRule,
     StatsRule,
     UniquenessRule,
@@ -52,6 +53,7 @@ def default_rules(fmt_reference: dict[str, float]) -> list:
                 ColumnSpec("phash", "bigint", nullable=False),
             ]
         ),
+        MetadataGateRule(max_side=4096),
         UniquenessRule(["image_id"]),
         UniquenessRule(["phash"], salted=True),
         NearDuplicateRule(),

@@ -47,7 +47,7 @@ def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
         "--output", out, "--run-id", "cli1",
         "--num-buckets", "8", "--cores", "4",
     )
-    assert r1["rules_run"] == 8 and r1["rules_skipped"] == 0
+    assert r1["rules_run"] == 9 and r1["rules_skipped"] == 0
     # planted faults: 2 dups + 3 bad pixels (+2 dup re-emits of clean
     # rows' captions are fine) + 4 missing captions — at least these
     assert r1["total_violations"] >= 2 + 3 + 4
@@ -60,7 +60,7 @@ def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
         "--output", out, "--run-id", "cli1",
         "--num-buckets", "8", "--cores", "4",
     )
-    assert r2["rules_run"] == 0 and r2["rules_skipped"] == 8
+    assert r2["rules_run"] == 0 and r2["rules_skipped"] == 9
     assert r2["total_violations"] == r1["total_violations"]
     # metrics landed in the layout (stats + drift rules emit them)
     assert os.path.isdir(f"{out}/metrics/run_id=cli1/rule=stats")
@@ -94,7 +94,7 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
         "--num-buckets", "4", "--cores", "4",
         "--snapshot", "fmt:categorical,w:numeric",
     )
-    assert r1["rules_run"] == 8
+    assert r1["rules_run"] == 9
     assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(fmt)")
     assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(w)")
 
@@ -127,7 +127,7 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
         "--images", w_drifted, "--output", out, "--run-id", "day3",
         "--num-buckets", "4", "--cores", "4", "--drift-from", "day1:w",
     )
-    assert r3["rules_run"] == 9
+    assert r3["rules_run"] == 10
     w_vio = spark.read.parquet(f"{out}/violations/run_id=day3/rule=drift(w)")
     assert w_vio.count() > 0
 

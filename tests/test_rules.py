@@ -326,3 +326,46 @@ def test_neardup_rule_not_bucket_aligned(spark):
 
     ctx = RuleContext(spark=spark, images=None, captions=None)
     assert not rule_is_bucket_aligned(NearDuplicateRule(), ctx)
+
+
+def test_metadata_gate_rule_flags_and_maps_columns(spark):
+    from assetdatavalidationtool_spark.rules import MetadataGateRule, RuleContext
+
+    images = spark.createDataFrame(
+        [
+            ("ok", 512, 512, "png", 5000),
+            ("nul", None, 512, "png", 5000),
+            ("sm", 16, 512, "png", 5000),
+            ("fmtx", 512, 512, "tiff", 5000),
+            ("tiny", 512, 512, "png", 8),
+        ],
+        "image_id string, w int, h int, fmt string, n_bytes long",
+    )
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    got = {r["key"]: r for r in MetadataGateRule(min_bytes=128).violations(ctx).collect()}
+    assert set(got) == {"nul", "sm", "fmtx", "tiny"}
+    assert got["nul"]["column"] == "w,h" and "null_dims" in got["nul"]["detail"]
+    assert got["sm"]["detail"] == "gated: too_small"
+    assert got["fmtx"]["column"] == "fmt"
+    assert got["tiny"]["column"] == "bytes"
+    assert all(r["rule"] == "gate" and r["bucket"] is not None for r in got.values())
+
+
+def test_metadata_gate_rule_payload_gate_needs_column(spark):
+    """min_bytes set but no n_bytes column → the payload gate silently
+    disables itself instead of scanning the binary bytes column."""
+    from assetdatavalidationtool_spark.rules import MetadataGateRule, RuleContext
+
+    images = spark.createDataFrame(
+        [("a", 512, 512, "png")], "image_id string, w int, h int, fmt string"
+    )
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    assert MetadataGateRule(min_bytes=128).violations(ctx).count() == 0
+
+
+def test_metadata_gate_rule_is_bucket_aligned(spark):
+    from assetdatavalidationtool_spark.manifest import rule_is_bucket_aligned
+    from assetdatavalidationtool_spark.rules import MetadataGateRule, RuleContext
+
+    ctx = RuleContext(spark=spark, images=None, captions=None)
+    assert rule_is_bucket_aligned(MetadataGateRule(), ctx)
