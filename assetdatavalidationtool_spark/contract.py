@@ -1921,8 +1921,8 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three 16-bit pieces (all intermediates < 2^63 — no overflow in either
 # engine), plus planted near-dup rows (XOR 0x10401 = bits {0,10,16},
 # Hamming 3) every 97th key and exact-dup rows every 131st.
-_PHASH_SQL = """
-WITH base AS (
+_PHASH_CTES = """
+base AS (
   SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
          ((k*40503+11)%65536)
            + (((k*9973+12345)%65536)*65536)
@@ -1949,11 +1949,36 @@ WITH base AS (
                   a.phash AS pa, b.phash AS pb
   FROM kept a JOIN kept b ON a.band = b.band AND a.bval = b.bval
    AND a.image_id < b.image_id
+), hpairs AS (
+  SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+  FROM pairs
+  WHERE bit_count(xor(pa, pb)) <= 3
+)"""
+
+_PHASH_SQL = (
+    "WITH "
+    + _PHASH_CTES
+    + "\nSELECT image_a, image_b, hamming FROM hpairs"
 )
-SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-FROM pairs
-WHERE bit_count(xor(pa, pb)) <= 3
-"""
+
+# phash pairs → connected components (image twin of _CC_CTES; the
+# recursive label-spread mirrors operators/dedup.py::connected_components)
+_PHASH_CC_CTES = (
+    _PHASH_CTES
+    + """
+    , edges AS (
+      SELECT image_a AS esrc, image_b AS edst FROM hpairs
+      UNION
+      SELECT image_b AS esrc, image_a AS edst FROM hpairs
+    ),
+    nodes AS (SELECT DISTINCT esrc AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.edst AS node, r.lbl FROM reach r JOIN edges e ON e.esrc = r.node
+    ),
+    cc AS (SELECT node AS image_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+)
 
 
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2289,3 +2314,183 @@ def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.images import aspect_buckets
 
     return aspect_buckets(_image_meta_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Composed image curation pipeline — gate → aspect buckets → shard
+# summary, in ONE narrow projection + ONE aggregate (the image twin of
+# corpus_dedup_pipeline: proves the curation operators compose without
+# intermediate joins or shuffles)
+# ---------------------------------------------------------------------------
+_CURATION_SQL = f"""
+    WITH {_IMAGE_META_CTE}, gated AS (
+      SELECT *,
+        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
+             WHEN least(w, h) < 64 THEN 'too_small'
+             WHEN greatest(w, h) > 8192 THEN 'too_large'
+             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
+             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+               THEN 'bad_format'
+             WHEN n_bytes < 128 THEN 'tiny_payload'
+        END AS reject_reason,
+        abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
+        abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
+        abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
+        abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
+        abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+      FROM meta
+    ), curated AS (
+      SELECT lower(fmt) AS fmt,
+             CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+                  ELSE 'wide_16_9' END AS bucket,
+             w, h
+      FROM gated WHERE reject_reason IS NULL
+    )
+    SELECT bucket, fmt, count(*) AS n_images,
+           CAST(sum(w * h) AS BIGINT) AS sum_pixels
+    FROM curated GROUP BY bucket, fmt
+"""
+
+
+@register("image_curation_summary", _CURATION_SQL)
+def q_image_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import aspect_bucket_expr, gate_reason_expr
+
+    meta = _image_meta_table(spark, sf_dir)
+    curated = (
+        meta.withColumn("reject_reason", gate_reason_expr())
+        .where(F.col("reject_reason").isNull())
+        .select(
+            aspect_bucket_expr().alias("bucket"),
+            F.lower(F.col("fmt")).alias("fmt"),
+            "w",
+            "h",
+        )
+    )
+    return curated.groupBy("bucket", "fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("w") * F.col("h")).alias("sum_pixels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup pairs → dedup clusters → canonical image per cluster
+# (image twin of dedup_clusters / dedup_canonical: connected components
+#  over the banded Hamming-pair graph, then keep the ORIGINAL variant —
+#  the standard "collapse re-encodes onto the source image" policy)
+# ---------------------------------------------------------------------------
+@register(
+    "image_phash_clusters",
+    "WITH RECURSIVE " + _PHASH_CC_CTES + "\n    SELECT image_id, cluster_id FROM cc",
+)
+def q_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+    from .operators.phash import phash_neardup_pairs
+
+    pairs = phash_neardup_pairs(
+        _phash_table(spark, sf_dir),
+        "image_id", "phash", max_hamming=3, bands=4, max_bucket_size=200,
+    )
+    return connected_components(pairs, src="image_a", dst="image_b").select(
+        F.col("doc_id").alias("image_id"), "cluster_id"
+    )
+
+
+@register(
+    "image_phash_canonical",
+    "WITH RECURSIVE "
+    + _PHASH_CC_CTES
+    + """
+    , j AS (
+      SELECT cluster_id, image_id,
+             CASE WHEN image_id LIKE 'img_%' THEN 1 ELSE 0 END AS orig
+      FROM cc
+    ), r AS (
+      SELECT cluster_id, image_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY orig DESC, image_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j
+    )
+    SELECT cluster_id, image_id AS kept_image_id, n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def q_image_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import canonical_docs, connected_components
+    from .operators.phash import phash_neardup_pairs
+
+    tbl = _phash_table(spark, sf_dir)
+    pairs = phash_neardup_pairs(
+        tbl, "image_id", "phash", max_hamming=3, bands=4, max_bucket_size=200,
+    )
+    clusters = connected_components(pairs, src="image_a", dst="image_b")
+    attrs = tbl.select(
+        "image_id",
+        F.col("image_id").startswith("img_").cast("int").alias("orig"),
+    )
+    return canonical_docs(clusters, attrs, "image_id", "orig").select(
+        "cluster_id",
+        F.col("kept_doc_id").alias("kept_image_id"),
+        "n_members",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Webdataset-style shard planning — gate → aspect bucket → byte-budget
+# shards within (bucket, lane); the image twin of corpus_pack_bins
+# ---------------------------------------------------------------------------
+_SHARD_SQL = f"""
+    WITH {_IMAGE_META_CTE}, gated AS (
+      SELECT *,
+        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
+             WHEN least(w, h) < 64 THEN 'too_small'
+             WHEN greatest(w, h) > 8192 THEN 'too_large'
+             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
+             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+               THEN 'bad_format'
+             WHEN n_bytes < 128 THEN 'tiny_payload'
+        END AS reject_reason,
+        abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
+        abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
+        abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
+        abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
+        abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+      FROM meta
+    ), curated AS (
+      SELECT image_id, n_bytes,
+             CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+                  ELSE 'wide_16_9' END AS bucket,
+             (('0x' || substr(md5('shard:' || image_id), 1, 8))::BIGINT % 8)
+               AS lane
+      FROM gated WHERE reject_reason IS NULL
+    ), b AS (
+      SELECT bucket, lane, n_bytes,
+             COALESCE(sum(n_bytes) OVER (
+               PARTITION BY bucket, lane ORDER BY image_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM curated
+    )
+    SELECT bucket, lane, CAST(floor(cumb / 1048576.0) AS BIGINT) AS shard_id,
+           count(*) AS n_images, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+    FROM b GROUP BY bucket, lane, shard_id
+"""
+
+
+@register("image_shard_plan", _SHARD_SQL)
+def q_image_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import aspect_bucket_expr, gate_reason_expr, shard_plan
+
+    meta = _image_meta_table(spark, sf_dir)
+    curated = (
+        meta.withColumn("reject_reason", gate_reason_expr())
+        .where(F.col("reject_reason").isNull())
+        .select(aspect_bucket_expr().alias("bucket"), "image_id", "n_bytes")
+    )
+    return shard_plan(curated, budget_bytes=1 << 20, n_lanes=8)

@@ -38,20 +38,48 @@ def image_gate(
     max_side: int = 8192,
     max_aspect: int = 4,
     formats: Sequence[str] = DEFAULT_FORMATS,
-    min_bytes: int = 128,
+    min_bytes: int | None = 128,
+    id_col: str = "image_id",
 ) -> DataFrame:
-    """Metadata quality gate → (image_id, passed, reject_reason).
+    """Metadata quality gate → (<id_col>, passed, reject_reason).
 
     Gates, in report order: null/non-positive dims; min(w,h) < min_side;
     max(w,h) > max_side; aspect ratio beyond max_aspect:1 either way
     (integer cross-multiplication — no floats); format not in the
-    allow-list (case-insensitive); payload below min_bytes.
-    ``reject_reason`` is NULL for passing rows.
+    allow-list (case-insensitive); payload below min_bytes. The payload
+    gate needs an ``n_bytes`` column and is skipped when ``min_bytes``
+    is None or the column is absent — measuring ``length(bytes)``
+    instead would drag the binary column through the scan, defeating
+    the point of a metadata gate. ``reject_reason`` is NULL for passing
+    rows.
 
     One narrow CASE projection; the predicate pushes into the scan, so
     a downstream ``.where(passed)`` prunes row groups by the w/h/fmt
     column statistics without touching the bytes column.
     """
+    reason = gate_reason_expr(
+        min_side=min_side,
+        max_side=max_side,
+        max_aspect=max_aspect,
+        formats=formats,
+        min_bytes=min_bytes if "n_bytes" in df.columns else None,
+    )
+    return df.select(
+        id_col,
+        reason.isNull().alias("passed"),
+        reason.alias("reject_reason"),
+    )
+
+
+def gate_reason_expr(
+    min_side: int = 64,
+    max_side: int = 8192,
+    max_aspect: int = 4,
+    formats: Sequence[str] = DEFAULT_FORMATS,
+    min_bytes: int | None = 128,
+) -> F.Column:
+    """The gate as a bare Column expression (NULL = passes) — compose it
+    into any projection without forcing a join back onto the metadata."""
     w, h = F.col("w"), F.col("h")
     fmt_ok = F.lower(F.col("fmt")).isin(*[f.lower() for f in formats])
     reason = (
@@ -60,14 +88,10 @@ def image_gate(
         .when(F.greatest(w, h) > max_side, "too_large")
         .when((w > h * max_aspect) | (h > w * max_aspect), "extreme_aspect")
         .when(~fmt_ok | F.col("fmt").isNull(), "bad_format")
-        .when(F.col("n_bytes") < min_bytes, "tiny_payload")
-        .otherwise(F.lit(None).cast("string"))
     )
-    return df.select(
-        "image_id",
-        reason.isNull().alias("passed"),
-        reason.alias("reject_reason"),
-    )
+    if min_bytes is not None:
+        reason = reason.when(F.col("n_bytes") < min_bytes, "tiny_payload")
+    return reason.otherwise(F.lit(None).cast("string"))
 
 
 # (name, w:h ratio as a rational) — the SDXL-ish 5-bucket ladder
@@ -98,6 +122,14 @@ def aspect_buckets(
     ``repartition(bucket)``/write-partitioned-by is the only shuffle a
     real pipeline adds, and it is the intended one.
     """
+    return df.select("image_id", aspect_bucket_expr(buckets).alias("bucket"))
+
+
+def aspect_bucket_expr(
+    buckets: Sequence[tuple[str, int, int]] = DEFAULT_BUCKETS,
+) -> F.Column:
+    """Aspect-bucket assignment as a bare Column expression — compose it
+    into any projection (see :func:`aspect_buckets` for semantics)."""
     w, h = F.col("w"), F.col("h")
     ratio = w.cast("double") / h.cast("double")
     dists = [(name, F.abs(ratio - F.lit(p / q))) for name, p, q in buckets]
@@ -105,4 +137,63 @@ def aspect_buckets(
     assign = F.when(w.isNull() | h.isNull() | (w <= 0) | (h <= 0), F.lit(None).cast("string"))
     for name, d in dists:
         assign = assign.when(d == best, F.lit(name))
-    return df.select("image_id", assign.alias("bucket"))
+    return assign
+
+
+def shard_plan(
+    df: DataFrame,
+    budget_bytes: int = 1 << 30,
+    n_lanes: int = 8,
+    id_col: str = "image_id",
+    bytes_col: str = "n_bytes",
+    group_cols: Sequence[str] = ("bucket",),
+    salt: str = "shard",
+) -> DataFrame:
+    """Plan webdataset-style tar shards over an image corpus → one row
+    per shard: (*group_cols, lane, shard_id, n_images, shard_bytes).
+
+    Training pipelines consume images as sequentially-readable shard
+    archives (webdataset tars, TFRecords, Parquet row-group bundles) of
+    a fixed byte budget; the planner's contract is that (a) every image
+    lands in exactly one shard, (b) shards respect the grouping columns
+    (e.g. the aspect bucket, so one shard feeds one batch geometry —
+    SDXL-style bucketed batching), and (c) a shard's payload stays
+    within ``budget_bytes`` plus at most one straddling image (the
+    standard overflow rule — an image is never split).
+
+    Mechanics mirror :func:`..text.pack_chunks`: route each image to
+    one of ``n_lanes`` lanes by a stable md5 hash of its id (portable —
+    the SQL mirror hashes identically), order by id within
+    (group, lane), and draw a shard boundary every ``budget_bytes`` of
+    exclusive running total: ``shard_id = floor(cumsum_before /
+    budget)``. Deterministic on any engine, any partitioning.
+
+    Scale: ONE shuffle — the hash exchange for the
+    (group, lane)-partitioned window cumsum; the per-shard aggregate
+    groups on a PREFIX EXTENSION of the window keys, so it reuses the
+    exchange map-side (plan-gated, like pack_chunks). Parallelism =
+    |groups| × n_lanes independent lanes — set n_lanes so that
+    lanes ≈ cluster cores at 10^12 images; per-lane state is one
+    BIGINT running total, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import _hash_bucket
+
+    gcols = list(group_cols)
+    lane = _hash_bucket(F.col(id_col), salt, n_lanes).alias("lane")
+    w = (
+        Window.partitionBy(*gcols, "lane")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    return (
+        df.select(*gcols, lane, id_col, bytes_col)
+        .withColumn("shard_id", F.floor(cum_before / budget_bytes))
+        .groupBy(*gcols, "lane", "shard_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(bytes_col).alias("shard_bytes"),
+        )
+    )

@@ -1228,3 +1228,41 @@ def test_aspect_buckets_nearest_and_null(spark):
     assert got["w169"] == "wide_16_9"
     assert got["ultra"] == "wide_16_9"   # clamps to the widest bucket
     assert got["nul"] is None
+
+
+def test_shard_plan_budget_and_conservation(spark):
+    """Every image lands in exactly one shard; shard bytes respect the
+    budget plus at most one straddling image; grouping is respected."""
+    from assetdatavalidationtool_spark.operators.images import shard_plan
+
+    rows = [
+        (f"im{i:03d}", "square_1_1" if i % 2 == 0 else "wide_16_9", 300)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bucket string, n_bytes long")
+    out = shard_plan(df, budget_bytes=1000, n_lanes=1).collect()
+    assert sum(r["n_images"] for r in out) == 40
+    assert sum(r["shard_bytes"] for r in out) == 40 * 300
+    for r in out:
+        # budget 1000, image 300: ≤ budget + (image-1) overrun
+        assert r["shard_bytes"] <= 1000 + 299
+        assert r["bucket"] in ("square_1_1", "wide_16_9")
+    # 20 images × 300 B per bucket = 6000 B → shards of 4 (1200 B,
+    # 4th straddles) except a possible short last one
+    assert all(r["n_images"] in (1, 2, 3, 4) for r in out)
+
+
+def test_shard_plan_partition_invariant(spark):
+    """Shard assignment is a pure function of (id hash, in-lane order) —
+    identical under any input partitioning, and lanes spread."""
+    from assetdatavalidationtool_spark.operators.images import shard_plan
+
+    rows = [(f"x{i:04d}", "b", 100 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "image_id string, bucket string, n_bytes long")
+    got = {tuple(r) for r in shard_plan(df, budget_bytes=500, n_lanes=4).collect()}
+    rep = {
+        tuple(r)
+        for r in shard_plan(df.repartition(13), budget_bytes=500, n_lanes=4).collect()
+    }
+    assert got == rep
+    assert len({t[1] for t in got}) > 1  # lanes actually spread

@@ -218,3 +218,57 @@ def test_phash_self_join_reuses_shuffle(spark):
     final = executed.split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_image_gate_and_aspect_are_scan_stage(spark):
+    """Both metadata curation queries are narrow projections: zero
+    exchanges — at 10^12 rows they run at parquet scan speed."""
+    for name in ("image_gate", "image_aspect_buckets"):
+        p = plan(QUERIES[name].fn(spark, SF))
+        assert p.count("Exchange") == 0, name
+
+
+def test_pack_chunks_single_lane_shuffle(spark):
+    """Packing shuffles ONCE (hash partition by lane for the window
+    cumsum); the bin aggregate reuses that partitioning map-side, so a
+    second full exchange of the chunk volume never happens."""
+    import re
+
+    df = QUERIES["corpus_pack_bins"].fn(spark, SF)
+    p = plan(df)
+    # allowed: the small-scan spread repartition + the lane window
+    # partition. The bin aggregate must REUSE the window's lane
+    # partitioning (groupBy keys prefix-match it) — a third exchange
+    # would re-shuffle the full chunk volume at 10^12 rows.
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert 1 <= len(exchanges) <= 2, p
+    # structurally: no Exchange between the Window and the aggregates
+    tree = p.split("(1) ")[0]
+    win_at = tree.index("Window")
+    agg_at = tree.rindex("HashAggregate", 0, win_at) if "HashAggregate" in tree[:win_at] else 0
+    assert "Exchange" not in tree[agg_at:win_at], tree
+
+
+def test_lm_quality_broadcasts_cost_table(spark):
+    """The per-token cost table is vocab-sized and must broadcast —
+    a shuffled join here would re-exchange the full exploded token
+    stream (corpus-sized) at 10^12 rows."""
+    p = plan(QUERIES["text_lm_quality"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_shard_plan_single_lane_shuffle(spark):
+    """Shard planning shuffles ONCE (hash partition by (bucket, lane)
+    for the window cumsum); the shard aggregate reuses that partitioning
+    map-side — a second exchange would re-shuffle the full corpus
+    metadata volume at 10^12 rows."""
+    import re
+
+    p = plan(QUERIES["image_shard_plan"].fn(spark, SF))
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert 1 <= len(exchanges) <= 2, p
+    tree = p.split("(1) ")[0]
+    win_at = tree.index("Window")
+    agg_at = tree.rindex("HashAggregate", 0, win_at) if "HashAggregate" in tree[:win_at] else 0
+    assert "Exchange" not in tree[agg_at:win_at], tree
