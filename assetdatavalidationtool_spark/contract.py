@@ -1921,21 +1921,10 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three 16-bit pieces (all intermediates < 2^63 — no overflow in either
 # engine), plus planted near-dup rows (XOR 0x10401 = bits {0,10,16},
 # Hamming 3) every 97th key and exact-dup rows every 131st.
-_PHASH_CTES = """
-base AS (
-  SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
-         ((k*40503+11)%65536)
-           + (((k*9973+12345)%65536)*65536)
-           + (((k*31+7)%65536)*4294967296) AS phash,
-         k
-  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
-), tbl AS (
-  SELECT image_id, phash FROM base
-  UNION ALL
-  SELECT 'dup_' || CAST(k AS VARCHAR), xor(phash, 66561) FROM base WHERE k % 97 = 0
-  UNION ALL
-  SELECT 'copy_' || CAST(k AS VARCHAR), phash FROM base WHERE k % 131 = 0
-), banded AS (
+# pHash band-LSH pair generation, parametrized only by an upstream CTE
+# named ``tbl`` with columns (image_id, phash) — reused by the raw pair
+# query, the cluster queries, and the curation pipeline
+_PHASH_PAIRS_FROM_TBL = """banded AS (
   SELECT image_id, phash, b.band, (phash >> (16*b.band)) & 65535 AS bval
   FROM tbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
 ), hot AS (
@@ -1955,18 +1944,34 @@ base AS (
   WHERE bit_count(xor(pa, pb)) <= 3
 )"""
 
+_PHASH_CTES = (
+    """base AS (
+  SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+         ((k*40503+11)%65536)
+           + (((k*9973+12345)%65536)*65536)
+           + (((k*31+7)%65536)*4294967296) AS phash,
+         k
+  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+), tbl AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT 'dup_' || CAST(k AS VARCHAR), xor(phash, 66561) FROM base WHERE k % 97 = 0
+  UNION ALL
+  SELECT 'copy_' || CAST(k AS VARCHAR), phash FROM base WHERE k % 131 = 0
+), """
+    + _PHASH_PAIRS_FROM_TBL
+)
+
 _PHASH_SQL = (
     "WITH "
     + _PHASH_CTES
     + "\nSELECT image_a, image_b, hamming FROM hpairs"
 )
 
-# phash pairs → connected components (image twin of _CC_CTES; the
-# recursive label-spread mirrors operators/dedup.py::connected_components)
-_PHASH_CC_CTES = (
-    _PHASH_CTES
-    + """
-    , edges AS (
+# connected components over an ``hpairs`` CTE (image twin of _CC_CTES;
+# the recursive label-spread mirrors
+# operators/dedup.py::connected_components)
+_CC_FROM_HPAIRS = """edges AS (
       SELECT image_a AS esrc, image_b AS edst FROM hpairs
       UNION
       SELECT image_b AS esrc, image_a AS edst FROM hpairs
@@ -1978,7 +1983,8 @@ _PHASH_CC_CTES = (
       SELECT e.edst AS node, r.lbl FROM reach r JOIN edges e ON e.esrc = r.node
     ),
     cc AS (SELECT node AS image_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
-)
+
+_PHASH_CC_CTES = _PHASH_CTES + ",\n    " + _CC_FROM_HPAIRS
 
 
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2494,3 +2500,187 @@ def q_image_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(aspect_bucket_expr().alias("bucket"), "image_id", "n_bytes")
     )
     return shard_plan(curated, budget_bytes=1 << 20, n_lanes=8)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end image curation pipeline — metadata gate → pHash band-LSH
+# near-dup pairs → connected components → keep the canonical (original-
+# preferred) variant per cluster → per-aspect-bucket corpus summary.
+# The image twin of corpus_dedup_pipeline: proves the whole curation
+# path composes. One unified synthetic corpus carries metadata AND
+# phash so every stage sees the same rows; planted near (XOR 66561,
+# Hamming 3) and exact (copy) duplicates make the dedup stage
+# non-vacuous, and the re-encoded 'dup_' variants switch fmt to jpeg so
+# some survive gates their gif/PNG source fails (the canonical is then
+# the variant — exercised, not an edge case).
+# ---------------------------------------------------------------------------
+_CURATED_UTBL_CTES = """m0 AS (
+  SELECT k,
+         CASE WHEN k % 23 = 0 THEN NULL
+              WHEN k % 41 = 0 THEN 10000
+              ELSE (k*37) % 4096 + 32 END AS w,
+         (k*53) % 2048 + 48 AS h,
+         CASE k % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'webp' WHEN 3 THEN 'gif'
+                    ELSE 'PNG' END AS fmt,
+         (k*11) % 100000 + 16 AS n_bytes,
+         ((k*40503+11)%65536)
+           + (((k*9973+12345)%65536)*65536)
+           + (((k*31+7)%65536)*4294967296) AS phash
+  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+), utbl AS (
+  SELECT 'img_' || CAST(k AS VARCHAR) AS image_id, w, h, fmt, n_bytes, phash
+  FROM m0
+  UNION ALL
+  SELECT 'dup_' || CAST(k AS VARCHAR), w, h, 'jpeg', n_bytes + 7,
+         xor(phash, 66561)
+  FROM m0 WHERE k % 97 = 0
+  UNION ALL
+  SELECT 'copy_' || CAST(k AS VARCHAR), w, h, fmt, n_bytes, phash
+  FROM m0 WHERE k % 131 = 0
+), gated AS (
+  SELECT * FROM utbl
+  WHERE CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'x'
+             WHEN least(w, h) < 64 THEN 'x'
+             WHEN greatest(w, h) > 8192 THEN 'x'
+             WHEN w > h * 4 OR h > w * 4 THEN 'x'
+             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+               THEN 'x'
+             WHEN n_bytes < 128 THEN 'x'
+        END IS NULL
+), tbl AS (SELECT image_id, phash FROM gated)"""
+
+_PIPELINE_SQL = (
+    "WITH RECURSIVE "
+    + _CURATED_UTBL_CTES
+    + ",\n"
+    + _PHASH_PAIRS_FROM_TBL
+    + ",\n    "
+    + _CC_FROM_HPAIRS
+    + """
+    , canon AS (
+      SELECT image_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY CASE WHEN image_id LIKE 'img_%' THEN 1 ELSE 0 END DESC,
+                        image_id ASC) AS rn
+      FROM cc
+    ), drops AS (SELECT image_id FROM canon WHERE rn > 1),
+    flagged AS (
+      SELECT g.w, g.h, g.n_bytes,
+             CASE WHEN d.image_id IS NULL THEN 1 ELSE 0 END AS keep,
+             abs(CAST(g.w AS DOUBLE)/g.h - 9.0/16.0)  AS d0,
+             abs(CAST(g.w AS DOUBLE)/g.h - 3.0/4.0)   AS d1,
+             abs(CAST(g.w AS DOUBLE)/g.h - 1.0)       AS d2,
+             abs(CAST(g.w AS DOUBLE)/g.h - 4.0/3.0)   AS d3,
+             abs(CAST(g.w AS DOUBLE)/g.h - 16.0/9.0)  AS d4
+      FROM gated g LEFT JOIN drops d ON g.image_id = d.image_id
+    )
+    SELECT CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+                WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+                WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+                WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+                ELSE 'wide_16_9' END AS bucket,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+           CAST(sum(n_bytes * keep) AS BIGINT) AS kept_bytes
+    FROM flagged GROUP BY bucket
+    """
+)
+
+
+def _curated_corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _CURATED_UTBL_CTES's ``utbl`` — metadata and
+    phash on the same deterministic rows, with planted near/exact dups."""
+    k = F.col("o_orderkey").cast("long")
+    m0 = _t(spark, sf_dir, "orders").select(
+        k.alias("k"),
+        F.when(k % 23 == 0, F.lit(None).cast("long"))
+        .when(k % 41 == 0, F.lit(10000).cast("long"))
+        .otherwise((k * 37) % 4096 + 32)
+        .alias("w"),
+        ((k * 53) % 2048 + 48).alias("h"),
+        F.when(k % 5 == 0, "png")
+        .when(k % 5 == 1, "jpeg")
+        .when(k % 5 == 2, "webp")
+        .when(k % 5 == 3, "gif")
+        .otherwise("PNG")
+        .alias("fmt"),
+        ((k * 11) % 100000 + 16).alias("n_bytes"),
+        (
+            (k * 40503 + 11) % 65536
+            + ((k * 9973 + 12345) % 65536) * 65536
+            + ((k * 31 + 7) % 65536) * F.lit(4294967296)
+        )
+        .cast("long")
+        .alias("phash"),
+    )
+    base = m0.select(
+        F.concat(F.lit("img_"), F.col("k").cast("string")).alias("image_id"),
+        "w", "h", "fmt", "n_bytes", "phash",
+    )
+    near = m0.where(F.col("k") % 97 == 0).select(
+        F.concat(F.lit("dup_"), F.col("k").cast("string")).alias("image_id"),
+        "w", "h",
+        F.lit("jpeg").alias("fmt"),
+        (F.col("n_bytes") + 7).alias("n_bytes"),
+        F.col("phash").bitwiseXOR(F.lit(66561)).alias("phash"),
+    )
+    exact = m0.where(F.col("k") % 131 == 0).select(
+        F.concat(F.lit("copy_"), F.col("k").cast("string")).alias("image_id"),
+        "w", "h", "fmt", "n_bytes", "phash",
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+@register("image_curation_pipeline", _PIPELINE_SQL)
+def q_image_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate → pHash near-dup clusters → canonical keep → bucket summary.
+
+    Scale shape: the corpus-wide stages are ONE gate scan (pure CASE,
+    pushed into the parquet scan), ONE band-bucket exchange for the
+    pair join (phash + id only — metadata and bytes never enter it),
+    and ONE broadcast left join of the drop set back onto the gated
+    corpus (near-dup drop sets are a small fraction of the corpus; at
+    10^12 rows swap the broadcast for a shuffle anti-join if the dup
+    rate explodes). Connected components runs on the pair graph only —
+    corpus-size-independent.
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components
+    from .operators.images import aspect_bucket_expr, gate_reason_expr
+    from .operators.phash import phash_neardup_pairs
+
+    gated = _curated_corpus_table(spark, sf_dir).where(
+        gate_reason_expr().isNull()
+    )
+    pairs = phash_neardup_pairs(
+        gated.select("image_id", "phash"),
+        "image_id", "phash", max_hamming=3, bands=4, max_bucket_size=200,
+    )
+    cc = connected_components(pairs, src="image_a", dst="image_b")
+    w_rn = Window.partitionBy("cluster_id").orderBy(
+        F.desc("orig"), F.asc("doc_id")
+    )
+    drops = (
+        cc.withColumn("orig", F.col("doc_id").startswith("img_").cast("int"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("image_id"), F.lit(1).alias("dropped"))
+    )
+    flagged = gated.join(F.broadcast(drops), "image_id", "left")
+    keep = F.when(F.col("dropped").isNull(), 1).otherwise(0)
+    return (
+        flagged.select(
+            aspect_bucket_expr().alias("bucket"),
+            keep.alias("keep"),
+            "n_bytes",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("keep").alias("n_kept"),
+            F.sum(1 - F.col("keep")).alias("n_dropped"),
+            F.sum(F.col("n_bytes") * F.col("keep")).alias("kept_bytes"),
+        )
+    )
