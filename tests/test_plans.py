@@ -272,3 +272,14 @@ def test_shard_plan_single_lane_shuffle(spark):
     win_at = tree.index("Window")
     agg_at = tree.rindex("HashAggregate", 0, win_at) if "HashAggregate" in tree[:win_at] else 0
     assert "Exchange" not in tree[agg_at:win_at], tree
+
+
+def test_curation_pipeline_drop_join_broadcasts(spark):
+    """The curation pipeline's only corpus-wide join is the drop-set
+    left join, and it must broadcast: the drop set is a tiny fraction
+    of the corpus, while a shuffled join would re-exchange all 10^12
+    rows of gated metadata. The pair join never appears here — it sits
+    behind the connected-components parquet checkpoint."""
+    p = plan(QUERIES["image_curation_pipeline"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
