@@ -2684,3 +2684,40 @@ def q_image_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_bytes") * F.col("keep")).alias("kept_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression sanity — bytes-per-pixel by format over gate-passed rows
+# (decode-free truncation / decoder-bomb screen; integer-exact)
+# ---------------------------------------------------------------------------
+_COMPRESSION_SQL = f"""
+    WITH {_IMAGE_META_CTE}, gated AS (
+      SELECT * FROM meta
+      WHERE CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'x'
+                 WHEN least(w, h) < 64 THEN 'x'
+                 WHEN greatest(w, h) > 8192 THEN 'x'
+                 WHEN w > h * 4 OR h > w * 4 THEN 'x'
+                 WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+                   THEN 'x'
+                 WHEN n_bytes < 128 THEN 'x'
+            END IS NULL
+    )
+    SELECT lower(fmt) AS fmt, count(*) AS n_images,
+           CAST(sum(w * h) AS BIGINT) AS total_pixels,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(floor(sum(n_bytes) * 1000.0 / sum(w * h)) AS BIGINT)
+             AS milli_bpp,
+           CAST(sum(CASE WHEN n_bytes * 1000 < 5 * w * h THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_under,
+           CAST(sum(CASE WHEN n_bytes * 1000 > 2000 * w * h THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_over
+    FROM gated GROUP BY lower(fmt)
+"""
+
+
+@register("image_compression_stats", _COMPRESSION_SQL)
+def q_image_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import compression_stats, gate_reason_expr
+
+    gated = _image_meta_table(spark, sf_dir).where(gate_reason_expr().isNull())
+    return compression_stats(gated)

@@ -197,3 +197,47 @@ def shard_plan(
             F.sum(bytes_col).alias("shard_bytes"),
         )
     )
+
+
+def compression_stats(
+    df: DataFrame,
+    low_milli_bpp: int = 5,
+    high_milli_bpp: int = 2_000,
+    fmt_col: str = "fmt",
+    bytes_col: str = "n_bytes",
+) -> DataFrame:
+    """Per-format compression sanity → (fmt, n_images, total_pixels,
+    total_bytes, milli_bpp, n_under, n_over).
+
+    Bytes-per-pixel is the cheapest decode-free corruption signal a
+    curation pipeline has: an image whose payload is far smaller than
+    its claimed dimensions warrant is truncated or a decoder bomb; one
+    far larger hides appended data or a mislabeled format. ``n_under``
+    / ``n_over`` count images outside [low, high] milli-bytes-per-pixel
+    (milli = B/px × 1000), and ``milli_bpp`` is the format's aggregate
+    ratio.
+
+    Exactness: outlier predicates are pure integer cross-
+    multiplications (``n_bytes*1000 < low*w*h``) and the aggregate
+    ratio is one BIGINT integer division of exact sums — bit-identical
+    on any engine, no float accumulation anywhere. Scale: one hash
+    aggregate on fmt (a handful of groups; partial aggregation absorbs
+    the volume map-side), bytes column never scanned.
+    """
+    w, h, nb = F.col("w"), F.col("h"), F.col(bytes_col)
+    px = (w * h).cast("long")
+    under = (nb * 1000 < F.lit(low_milli_bpp) * px).cast("int")
+    over = (nb * 1000 > F.lit(high_milli_bpp) * px).cast("int")
+    return (
+        df.select(F.lower(F.col(fmt_col)).alias("fmt"), px.alias("px"),
+                  nb.alias("nb"), under.alias("under"), over.alias("over"))
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("px").alias("total_pixels"),
+            F.sum("nb").alias("total_bytes"),
+            F.floor(F.sum("nb") * 1000 / F.sum("px")).cast("long").alias("milli_bpp"),
+            F.sum("under").alias("n_under"),
+            F.sum("over").alias("n_over"),
+        )
+    )

@@ -1266,3 +1266,23 @@ def test_shard_plan_partition_invariant(spark):
     }
     assert got == rep
     assert len({t[1] for t in got}) > 1  # lanes actually spread
+
+
+def test_compression_stats_flags_planted_outliers(spark):
+    """Integer cross-multiplication outlier predicates: a starved and a
+    bloated payload are counted; ratio is exact BIGINT division."""
+    from assetdatavalidationtool_spark.operators.images import compression_stats
+
+    rows = [
+        ("a", 100, 100, "png", 1000),   # 100 milli-bpp — sane
+        ("b", 100, 100, "png", 20),     # 2 milli-bpp — under (<5)
+        ("c", 100, 100, "png", 50000),  # 5000 milli-bpp — over (>2000)
+        ("d", 200, 100, "PNG", 2000),   # case-folds into png
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, fmt string, n_bytes long")
+    got = {r["fmt"]: r for r in compression_stats(df).collect()}
+    assert set(got) == {"png"}
+    r = got["png"]
+    assert r["n_images"] == 4 and r["n_under"] == 1 and r["n_over"] == 1
+    assert r["total_pixels"] == 3 * 10000 + 20000
+    assert r["milli_bpp"] == (1000 + 20 + 50000 + 2000) * 1000 // 50000
