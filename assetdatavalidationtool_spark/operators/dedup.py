@@ -23,7 +23,19 @@ Scale design notes (what changes at 10^12 documents):
 
 from __future__ import annotations
 
+import atexit
+import shutil as _shutil
+
 from pyspark.sql import DataFrame, functions as F
+
+# auto-created connected_components checkpoint roots, swept at exit
+_TEMP_CC_ROOTS: list[str] = []
+
+
+@atexit.register
+def _sweep_cc_roots() -> None:
+    for d in _TEMP_CC_ROOTS:
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def _norm_text(c: F.Column) -> F.Column:
@@ -299,6 +311,14 @@ def connected_components(
     edges = e_fwd.unionByName(e_rev).distinct().persist()
 
     root = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
+    if checkpoint_dir is None:
+        # The FINAL labels dir must outlive this call (the returned
+        # DataFrame lazily scans it), so it cannot be deleted here —
+        # without a hook every call leaks one tempdir for the process
+        # lifetime (observed: 150+ dirs across a test+bench session).
+        # Sweep auto-created roots at interpreter exit; caller-supplied
+        # checkpoint_dir is the caller's to manage.
+        _TEMP_CC_ROOTS.append(root)
 
     def _checkpoint(df: DataFrame, it: int) -> DataFrame:
         path = f"{root}/iter_{it}"

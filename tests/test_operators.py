@@ -1286,3 +1286,21 @@ def test_compression_stats_flags_planted_outliers(spark):
     assert r["n_images"] == 4 and r["n_under"] == 1 and r["n_over"] == 1
     assert r["total_pixels"] == 3 * 10000 + 20000
     assert r["milli_bpp"] == (1000 + 20 + 50000 + 2000) * 1000 // 50000
+
+
+def test_connected_components_registers_tempdir_sweep(spark):
+    """Auto-created checkpoint roots are queued for atexit removal
+    (callers supplying checkpoint_dir manage their own)."""
+    import os
+
+    from assetdatavalidationtool_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    before = len(dd._TEMP_CC_ROOTS)
+    dd.connected_components(pairs).collect()
+    assert len(dd._TEMP_CC_ROOTS) == before + 1
+    root = dd._TEMP_CC_ROOTS[-1]
+    assert os.path.isdir(root)
+    dd._sweep_cc_roots()
+    assert not os.path.isdir(root)
+    del dd._TEMP_CC_ROOTS[:]
