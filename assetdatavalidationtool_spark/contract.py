@@ -2721,3 +2721,54 @@ def q_image_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gated = _image_meta_table(spark, sf_dir).where(gate_reason_expr().isNull())
     return compression_stats(gated)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN recall vs brute-force ground truth — completes the ANN
+# evaluation pair (similarity_lsh_recall measures the hyperplane-LSH
+# index; this measures the multi-probe IVF index with the same truth
+# set and the same recall contract)
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_ivf_recall",
+    f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]))) DESC,
+                          e.vec_id ASC) AS rank
+        FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 20) q, embeddings e
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), ann AS ({_IVF_TOPK_SQL}),
+    base AS (SELECT query_id, count(*) AS n_truth FROM bf GROUP BY query_id),
+    hits AS (
+      SELECT bf.query_id, count(*) AS n_hit
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT b.query_id, b.n_truth, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 / b.n_truth, 4) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_recall, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = brute_force_cosine_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(20)), k=5
+    )
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", _CENTS,
+        k=5, n_probe=_IVF_NPROBE, query_ids=list(range(20)),
+        max_cell_size=_IVF_CELL_CAP,
+    )
+    return ann_recall(truth, approx)
