@@ -39,6 +39,7 @@ def image_gate(
     max_aspect: int = 4,
     formats: Sequence[str] = DEFAULT_FORMATS,
     min_bytes: int | None = 128,
+    milli_bpp_bounds: tuple[int, int] | None = None,
     id_col: str = "image_id",
 ) -> DataFrame:
     """Metadata quality gate → (<id_col>, passed, reject_reason).
@@ -57,12 +58,14 @@ def image_gate(
     a downstream ``.where(passed)`` prunes row groups by the w/h/fmt
     column statistics without touching the bytes column.
     """
+    has_nb = "n_bytes" in df.columns
     reason = gate_reason_expr(
         min_side=min_side,
         max_side=max_side,
         max_aspect=max_aspect,
         formats=formats,
-        min_bytes=min_bytes if "n_bytes" in df.columns else None,
+        min_bytes=min_bytes if has_nb else None,
+        milli_bpp_bounds=milli_bpp_bounds if has_nb else None,
     )
     return df.select(
         id_col,
@@ -77,9 +80,18 @@ def gate_reason_expr(
     max_aspect: int = 4,
     formats: Sequence[str] = DEFAULT_FORMATS,
     min_bytes: int | None = 128,
+    milli_bpp_bounds: tuple[int, int] | None = None,
 ) -> F.Column:
     """The gate as a bare Column expression (NULL = passes) — compose it
-    into any projection without forcing a join back onto the metadata."""
+    into any projection without forcing a join back onto the metadata.
+
+    ``milli_bpp_bounds=(low, high)`` optionally adds the compression
+    sanity screen from :func:`compression_stats` per row: a payload
+    below ``low`` milli-bytes-per-pixel is 'starved_payload' (truncated
+    file / decoder bomb), above ``high`` is 'bloated_payload' (appended
+    data / mislabeled format). Integer cross-multiplication — exact on
+    any engine; needs ``n_bytes`` (off by default, like ``min_bytes``
+    when the column is absent)."""
     w, h = F.col("w"), F.col("h")
     fmt_ok = F.lower(F.col("fmt")).isin(*[f.lower() for f in formats])
     reason = (
@@ -91,6 +103,11 @@ def gate_reason_expr(
     )
     if min_bytes is not None:
         reason = reason.when(F.col("n_bytes") < min_bytes, "tiny_payload")
+    if milli_bpp_bounds is not None:
+        low, high = milli_bpp_bounds
+        nb, px = F.col("n_bytes"), (w * h).cast("long")
+        reason = reason.when(nb * 1000 < low * px, "starved_payload")
+        reason = reason.when(nb * 1000 > high * px, "bloated_payload")
     return reason.otherwise(F.lit(None).cast("string"))
 
 

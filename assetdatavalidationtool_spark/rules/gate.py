@@ -36,6 +36,8 @@ _REASON_COLUMN = {
     "extreme_aspect": "w,h",
     "bad_format": "fmt",
     "tiny_payload": "bytes",
+    "starved_payload": "bytes",
+    "bloated_payload": "bytes",
 }
 
 
@@ -47,11 +49,15 @@ class MetadataGateRule(Rule):
     formats: tuple = DEFAULT_FORMATS
     # None: payload gate off unless the table carries n_bytes anyway
     min_bytes: int | None = None
+    # (low, high) milli-bytes-per-pixel compression sanity screen
+    # (truncation / decoder-bomb detection); None = off
+    milli_bpp_bounds: tuple | None = None
     name: str = field(default="gate", init=False)
 
     def violations(self, ctx: RuleContext) -> DataFrame:
         cols = [ctx.key_col, "w", "h", "fmt"]
-        if self.min_bytes is not None and "n_bytes" in ctx.images.columns:
+        needs_nb = self.min_bytes is not None or self.milli_bpp_bounds is not None
+        if needs_nb and "n_bytes" in ctx.images.columns:
             cols.append("n_bytes")
         gated = image_gate(
             ctx.images.select(*cols),
@@ -60,6 +66,7 @@ class MetadataGateRule(Rule):
             max_aspect=self.max_aspect,
             formats=self.formats,
             min_bytes=self.min_bytes,
+            milli_bpp_bounds=self.milli_bpp_bounds,
             id_col=ctx.key_col,
         ).where(~F.col("passed"))
         col_map = F.lit(None).cast("string")

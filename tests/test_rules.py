@@ -369,3 +369,31 @@ def test_metadata_gate_rule_is_bucket_aligned(spark):
 
     ctx = RuleContext(spark=spark, images=None, captions=None)
     assert rule_is_bucket_aligned(MetadataGateRule(), ctx)
+
+
+def test_metadata_gate_rule_compression_bounds(spark):
+    """Optional milli-bpp bounds flag starved (truncated) and bloated
+    payloads against the bytes column; the defaults leave them off."""
+    from assetdatavalidationtool_spark.rules import MetadataGateRule, RuleContext
+
+    images = spark.createDataFrame(
+        [
+            ("ok", 100, 100, "png", 1000),       # 100 milli-bpp
+            ("starved", 100, 100, "png", 200),   # 20 — below low=50
+            ("bloated", 100, 100, "png", 60000), # 6000 — above high=2000
+        ],
+        "image_id string, w int, h int, fmt string, n_bytes long",
+    )
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    got = {
+        r["key"]: r
+        for r in MetadataGateRule(milli_bpp_bounds=(50, 2000))
+        .violations(ctx)
+        .collect()
+    }
+    assert set(got) == {"starved", "bloated"}
+    assert got["starved"]["detail"] == "gated: starved_payload"
+    assert got["bloated"]["detail"] == "gated: bloated_payload"
+    assert all(r["column"] == "bytes" for r in got.values())
+    # defaults: bounds off → no violations from these rows
+    assert MetadataGateRule().violations(ctx).count() == 0
