@@ -2772,3 +2772,89 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cell_size=_IVF_CELL_CAP,
     )
     return ann_recall(truth, approx)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal caption quality by image geometry — the pair-level signal
+# none of the single-side queries covers: per aspect bucket, how well
+# captioned are the images (empty / too-short captions are the #1 drop
+# reason in image-text corpora after dedup). Captions derive from
+# o_orderpriority repeated k%7 times (every 7th pair is caption-less,
+# so n_empty is non-vacuous; k%7==1 repeats give 2-token captions for
+# n_short). One
+# narrow projection + one aggregate — caption tokenisation is the same
+# split used by every text query (proven cross-engine), and avg uses
+# the portable floor(x*1e4+0.5)/1e4 rounding.
+# ---------------------------------------------------------------------------
+_CAPTION_STATS_SQL = """
+    WITH m AS (
+      SELECT CASE WHEN k % 23 = 0 THEN NULL
+                  WHEN k % 41 = 0 THEN 10000
+                  ELSE (k*37) % 4096 + 32 END AS w,
+             (k*53) % 2048 + 48 AS h,
+             trim(repeat(o_orderpriority || ' ', CAST(k % 7 AS INT)))
+               AS caption
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority
+            FROM orders)
+    ), t AS (
+      SELECT w, h,
+             len(list_filter(
+               string_split_regex(
+                 regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'),
+                 '[^a-z0-9'']+'),
+               x -> x <> '')) AS n_toks,
+             abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
+             abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
+             abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
+             abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
+             abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+      FROM m
+    ), b AS (
+      SELECT CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
+                  WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+                  ELSE 'wide_16_9' END AS bucket,
+             n_toks
+      FROM t
+    )
+    SELECT bucket, count(*) AS n_pairs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(sum(CASE WHEN n_toks BETWEEN 1 AND 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_short,
+           floor(avg(n_toks) * 10000 + 0.5) / 10000 AS avg_tokens
+    FROM b GROUP BY bucket
+"""
+
+
+@register("image_caption_stats", _CAPTION_STATS_SQL)
+def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import aspect_bucket_expr
+    from .operators.text import _tokens
+
+    k = F.col("o_orderkey").cast("long")
+    m = _t(spark, sf_dir, "orders").select(
+        F.when(k % 23 == 0, F.lit(None).cast("long"))
+        .when(k % 41 == 0, F.lit(10000).cast("long"))
+        .otherwise((k * 37) % 4096 + 32)
+        .alias("w"),
+        ((k * 53) % 2048 + 48).alias("h"),
+        F.expr(
+            "trim(repeat(concat(o_orderpriority, ' '), "
+            "CAST(CAST(o_orderkey AS BIGINT) % 7 AS INT)))"
+        ).alias("caption"),
+    )
+    t = m.select(
+        aspect_bucket_expr().alias("bucket"),
+        F.size(_tokens(F.col("caption"))).alias("n_toks"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum((F.col("n_toks") == 0).cast("int")).alias("n_empty"),
+        F.sum(((F.col("n_toks") >= 1) & (F.col("n_toks") <= 2)).cast("int")).alias("n_short"),
+        (F.floor(F.avg("n_toks") * 10000 + F.lit(0.5)) / 10000).alias("avg_tokens"),
+    )
