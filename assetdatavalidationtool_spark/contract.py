@@ -1896,7 +1896,9 @@ def build_ruleset_run(spark: SparkSession, sf_dir: str) -> dict:
     # default persist=True: the violations union feeds both the >=0 and
     # <0 bucket branches of the verdict plan; without persistence both
     # rules execute twice per action (measured 16.5 s -> ~8 s at sf0.1)
-    return rs.run(ctx)
+    res = rs.run(ctx)
+    res["ctx"] = ctx
+    return res
 
 
 @register("ruleset_verdicts", _RULESET_SQL)
@@ -1909,6 +1911,91 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = verdicts.collect()
     res["violations"].unpersist()
     return spark.createDataFrame(rows, verdicts.schema)
+
+
+# ---------------------------------------------------------------------------
+# Engine spine, downstream half — split_violations (rules/base.py):
+# violations -> per-key quarantine aggregate -> LEFT-OUTER tag of the
+# input -> clean/quarantine partition. The training-pipeline complement
+# of the reference's diff report: the reference only LISTS mismatches
+# (ReportGenerator.cs sheets); a curation run also needs the rows safe
+# to feed forward. Shares the planted-violation synth (and the portable
+# bucket modulo) with ruleset_verdicts above.
+# ---------------------------------------------------------------------------
+_RS_SPLIT_CTES = """img AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  WHERE o_orderkey % 1000 = 1
+),
+cap AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 500 <> 3
+  UNION ALL
+  SELECT CAST(l_orderkey + 100000000 AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 701 = 0
+),
+vio AS (
+  SELECT image_id AS key, 'uniqueness(image_id)' AS rule
+  FROM img GROUP BY image_id HAVING count(*) > 1
+  UNION ALL
+  SELECT coalesce(i.image_id, c.image_id) AS key, 'referential' AS rule
+  FROM (SELECT DISTINCT image_id FROM img) i
+  FULL OUTER JOIN (SELECT DISTINCT image_id FROM cap) c
+    ON i.image_id = c.image_id
+  WHERE i.image_id IS NULL OR c.image_id IS NULL
+),
+bad AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_violations,
+         array_to_string(list_sort(list(DISTINCT rule)), ',') AS rules_hit
+  FROM vio GROUP BY key
+)"""
+
+_QUARANTINE_SQL = f"""
+WITH {_RS_SPLIT_CTES}
+SELECT i.image_id, b.n_violations, b.rules_hit
+FROM img i JOIN bad b ON i.image_id = b.key
+"""
+
+# orphan-caption violations (keys not present in img) must NOT leak
+# into the quarantine side — they have no input row to quarantine
+_CLEAN_COUNT_SQL = f"""
+WITH {_RS_SPLIT_CTES}
+SELECT CAST(image_id AS BIGINT) % 16 AS bucket, count(*) AS clean_rows
+FROM img WHERE image_id NOT IN (SELECT key FROM bad)
+GROUP BY 1
+"""
+
+
+@register("ruleset_quarantine", _QUARANTINE_SQL)
+def q_ruleset_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rules.base import split_violations
+
+    res = build_ruleset_run(spark, sf_dir)
+    parts = split_violations(res["ctx"], res["violations"])
+    q = parts["quarantine"]
+    rows = q.collect()
+    res["violations"].unpersist()
+    return spark.createDataFrame(rows, q.schema)
+
+
+@register("ruleset_clean_count", _CLEAN_COUNT_SQL)
+def q_ruleset_clean_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rules.base import split_violations
+
+    res = build_ruleset_run(spark, sf_dir)
+    ctx = res["ctx"]
+    parts = split_violations(ctx, res["violations"])
+    cc = (
+        parts["clean"]
+        .select(ctx.bucket_of(F.col("image_id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("clean_rows"))
+    )
+    rows = cc.collect()
+    res["violations"].unpersist()
+    return spark.createDataFrame(rows, cc.schema)
 
 
 # ---------------------------------------------------------------------------

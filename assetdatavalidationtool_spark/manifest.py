@@ -302,6 +302,36 @@ class ValidationRun:
             out = out.drop("rule")
         out.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+    def split(self, images: DataFrame) -> str:
+        """Write the clean/quarantine split for this run's violations.
+
+        Reads the violations ALREADY materialized by :meth:`run` (zero
+        rule re-execution — at 10^12 rows re-running the rules to
+        classify rows would double the cost of the run) and performs the
+        one-scan tagged write of :func:`rules.base.write_split` under
+        ``<out>/split/run_id=<id>/status={clean,quarantine}``. Returns
+        the split root path.
+        """
+        from .rules.base import split_violations, write_split
+
+        ctx = RuleContext(
+            spark=self.spark,
+            images=images,
+            num_buckets=self.num_buckets,
+            run_id=self.run_id,
+            key_col=self.key_col,
+            bucket_expr=self.bucket_expr,
+        )
+        try:
+            vio = self.violations()
+        except Exception:
+            # a fully-clean run may have written no violation part files
+            vio = ctx.empty_violations()
+        parts = split_violations(ctx, vio)
+        path = f"{self.out}/split/run_id={self.run_id}"
+        write_split(parts["tagged"], path)
+        return path
+
     # -- readers -----------------------------------------------------------
     def violations(self) -> DataFrame:
         return self.spark.read.option("basePath", f"{self.out}/violations").parquet(

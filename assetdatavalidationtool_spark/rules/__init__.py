@@ -15,7 +15,13 @@ Reference parity map (SURVEY.md §7.1):
   frames vs reference rendering under a PSNR gate + header metadata)
 """
 
-from .base import RuleContext, RuleSet, VIOLATIONS_SCHEMA
+from .base import (
+    RuleContext,
+    RuleSet,
+    VIOLATIONS_SCHEMA,
+    split_violations,
+    write_split,
+)
 from .schema import SchemaRule
 from .stats import StatsRule
 from .uniqueness import UniquenessRule
@@ -31,6 +37,8 @@ __all__ = [
     "RuleContext",
     "RuleSet",
     "VIOLATIONS_SCHEMA",
+    "split_violations",
+    "write_split",
     "SchemaRule",
     "StatsRule",
     "UniquenessRule",

@@ -162,3 +162,75 @@ class RuleSet:
                 metrics = m if metrics is None else metrics.unionByName(m)
 
         return {"violations": vio, "verdicts": verdicts, "metrics": metrics}
+
+
+def split_violations(
+    ctx: RuleContext, violations: DataFrame, status_col: str = "status"
+) -> dict[str, DataFrame]:
+    """Split the input into clean / quarantine rows from a violations table.
+
+    The downstream half of the reference's diff-report workflow: the
+    reference only *reports* mismatches (ReportGenerator.cs sheets); a
+    training pipeline also needs the complement — the rows safe to feed
+    forward. ``bad`` aggregates the (usually tiny) violations table to
+    one row per offending key; the input is then LEFT-OUTER joined
+    against it once and tagged. At 10^12 rows the violations side is
+    orders of magnitude smaller than the input, so AQE plans the join
+    as a broadcast and the input is never shuffled.
+
+    Semantics:
+
+    * Only violations whose ``key`` equals the context key quarantine
+      rows. Table-level violations (key NULL) and composite-key rules
+      (key "a|b") describe no single input row — they gate the verdict,
+      not the split.
+    * Duplicate input rows (uniqueness violations) quarantine EVERY
+      copy — the dedup decision (which copy survives) is a separate,
+      explicit step (see operators.dedup / image_phash_canonical).
+    * clean ∪ quarantine partitions the input: every input row lands in
+      exactly one side, with multiplicity preserved.
+
+    Returns ``tagged`` (input + status/n_violations/rules_hit — feed
+    this to :func:`write_split` for the one-scan two-sink write),
+    ``clean`` (input columns only) and ``quarantine`` (input +
+    n_violations + rules_hit).
+    """
+    key = ctx.key_col
+    bad = (
+        violations.where(F.col("key").isNotNull())
+        .groupBy(F.col("key").alias("__vio_key"))
+        .agg(
+            F.count("*").alias("n_violations"),
+            F.concat_ws(",", F.array_sort(F.collect_set("rule"))).alias("rules_hit"),
+        )
+    )
+    tagged = (
+        ctx.images.join(
+            bad, F.col(key).cast("string") == F.col("__vio_key"), "left_outer"
+        )
+        .drop("__vio_key")
+        .withColumn(
+            status_col,
+            F.when(F.col("n_violations").isNull(), "clean").otherwise("quarantine"),
+        )
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+        .withColumn("rules_hit", F.coalesce("rules_hit", F.lit("")))
+    )
+    clean = tagged.where(F.col(status_col) == "clean").drop(
+        status_col, "n_violations", "rules_hit"
+    )
+    quarantine = tagged.where(F.col(status_col) == "quarantine").drop(status_col)
+    return {"tagged": tagged, "clean": clean, "quarantine": quarantine}
+
+
+def write_split(tagged: DataFrame, path: str, status_col: str = "status") -> None:
+    """ONE-scan two-sink write of a :func:`split_violations` ``tagged``
+    DataFrame: ``path/status=clean/`` and ``path/status=quarantine/``.
+
+    Materializing ``clean`` and ``quarantine`` separately would scan
+    the (100 TB) input twice; partitioning the tagged frame by status
+    writes both sinks in a single job with a single pass over the
+    input. The status column has exactly two values, so this adds no
+    small-file pressure beyond the 2× directory fan-out.
+    """
+    tagged.write.mode("overwrite").partitionBy(status_col).parquet(path)

@@ -192,6 +192,10 @@ def main() -> None:
                     "that run in the same --output as the drift reference "
                     "(validate-against-last-known-good); binning spec is "
                     "read from the snapshot's metadata")
+    ap.add_argument("--split", action="store_true",
+                    help="after the rule run, write the clean/quarantine "
+                    "row split under OUTPUT/split/run_id=RUN_ID/ (one "
+                    "scan, partitioned by status; no rule re-execution)")
     ap.add_argument("--validate-connectors", default=None, metavar="CONFIG.json",
                     help="run the cross-source asset-validation suite "
                     "(KeyPresence/MatchesAll/MissingByFile/Conflicts) over "
@@ -263,16 +267,21 @@ def main() -> None:
                 args.output, args.run_id, col, kind=kind,
             )
 
+    split_path = run.split(images) if args.split else None
+
     verdicts = run.verdicts()
     failed = verdicts.where(~(F.col("violation_count") == 0)).count()
     total_vio = verdicts.agg(F.sum("violation_count")).collect()[0][0]
-    print(json.dumps({
+    out = {
         "run_id": args.run_id,
         **summary,
         "failed_partitions": failed,
         "total_violations": int(total_vio or 0),
         "output": args.output,
-    }))
+    }
+    if split_path is not None:
+        out["split"] = split_path
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

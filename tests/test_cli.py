@@ -45,9 +45,13 @@ def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
         "--images", str(images_dir / "images"),
         "--captions", str(images_dir / "captions"),
         "--output", out, "--run-id", "cli1",
-        "--num-buckets", "8", "--cores", "4",
+        "--num-buckets", "8", "--cores", "4", "--split",
     )
     assert r1["rules_run"] == 9 and r1["rules_skipped"] == 0
+    # --split wrote the clean/quarantine sinks from the run's violations
+    assert r1["split"] == f"{out}/split/run_id=cli1"
+    assert os.path.isdir(f"{out}/split/run_id=cli1/status=clean")
+    assert os.path.isdir(f"{out}/split/run_id=cli1/status=quarantine")
     # planted faults: 2 dups + 3 bad pixels (+2 dup re-emits of clean
     # rows' captions are fine) + 4 missing captions — at least these
     assert r1["total_violations"] >= 2 + 3 + 4

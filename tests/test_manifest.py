@@ -307,3 +307,27 @@ def test_snapshot_spec_roundtrip_and_missing_error(spark, data, tmp_path_factory
         load_snapshot_spec(spark, out, "day1", "fmt")
     with pytest.raises(FileNotFoundError, match="recorded no snapshots"):
         load_snapshot_spec(spark, out, "day_missing", "fmt")
+
+
+def test_split_from_persisted_violations(spark, data, tmp_path_factory):
+    """ValidationRun.split classifies rows from the violations ALREADY
+    written by run() (no rule re-execution) and writes the one-scan
+    clean/quarantine sinks under the run layout."""
+    images, captions = data
+    out = str(tmp_path_factory.mktemp("split_run"))
+    run = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="rS")
+    run.run(images, captions)
+    path = run.split(images)
+    assert path == f"{out}/split/run_id=rS"
+    clean = spark.read.parquet(f"{path}/status=clean")
+    quar = spark.read.parquet(f"{path}/status=quarantine")
+    assert clean.count() + quar.count() == images.count()
+    # every key the violations table names (that exists in images) is
+    # quarantined — the split must agree with the written violations
+    vio_keys = {
+        r["key"]
+        for r in run.violations().select("key").where("key is not null").collect()
+    }
+    img_keys = {r["image_id"] for r in images.select("image_id").collect()}
+    q_keys = {r["image_id"] for r in quar.select("image_id").collect()}
+    assert q_keys == (vio_keys & img_keys)

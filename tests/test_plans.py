@@ -283,3 +283,27 @@ def test_curation_pipeline_drop_join_broadcasts(spark):
     p = plan(QUERIES["image_curation_pipeline"].fn(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_split_tagged_single_scan_reuses_persisted_violations(ctx):
+    """The clean/quarantine tagged plan must (a) read the violations
+    from their ONE persisted materialization (InMemoryTableScan), never
+    re-executing the rule plans, and (b) scan the input images exactly
+    once — at 10^12 rows a second scan doubles the cost of the split."""
+    from assetdatavalidationtool_spark.rules import (
+        RuleSet,
+        split_violations,
+    )
+
+    rs = RuleSet([UniquenessRule(["image_id"]), ReferentialRule()])
+    res = rs.run(ctx)
+    res["violations"].count()  # materialize the cache
+    parts = split_violations(ctx, res["violations"])
+    p = plan(parts["tagged"])
+    res["violations"].unpersist()
+    assert "InMemoryTableScan" in p
+    # outside the cached subtree the input is scanned exactly once
+    head = p.split("InMemoryRelation")[0] if "InMemoryRelation" in p else p
+    assert head.count("Scan parquet") == 1
+    # one join only: the per-key violation aggregate joined to the input
+    assert head.count("Join") == 1

@@ -397,3 +397,53 @@ def test_metadata_gate_rule_compression_bounds(spark):
     assert all(r["column"] == "bytes" for r in got.values())
     # defaults: bounds off → no violations from these rows
     assert MetadataGateRule().violations(ctx).count() == 0
+
+
+def test_split_clean_quarantine_partitions_input(ctx):
+    """clean ∪ quarantine must partition the input with multiplicity:
+    every copy of a duplicated key quarantines (the KEEP decision is a
+    separate dedup step), missing-caption keys quarantine via
+    referential, and alien captions (no image row) must NOT leak in."""
+    from assetdatavalidationtool_spark.rules import split_violations
+
+    rs = RuleSet([UniquenessRule(["image_id"]), ReferentialRule()])
+    res = rs.run(ctx)
+    parts = split_violations(ctx, res["violations"])
+    n_in = ctx.images.count()
+    q = parts["quarantine"].cache()
+    n_q = q.count()
+    assert parts["clean"].count() + n_q == n_in
+    # 3 dup keys x 2 copies + 5 dropped-caption keys
+    assert n_q == 2 * DUPS + DROPPED
+    dup_rows = q.where(F.col("rules_hit").contains("uniqueness")).count()
+    ref_rows = q.where(F.col("rules_hit") == "referential").count()
+    assert dup_rows == 2 * DUPS
+    assert ref_rows == DROPPED
+    assert q.where(F.col("n_violations") < 1).count() == 0
+    # alien caption keys have no image row — absent from both sides
+    assert q.where(F.col("image_id").startswith("alien_")).count() == 0
+    assert parts["clean"].where(F.col("image_id").startswith("alien_")).count() == 0
+    # clean side exposes EXACTLY the input columns (no tag residue)
+    assert parts["clean"].columns == ctx.images.columns
+    q.unpersist()
+    res["violations"].unpersist()
+
+
+def test_write_split_one_scan_two_sinks(ctx, tmp_path):
+    """write_split materializes both sinks from one job: partitioned
+    status=clean/ and status=quarantine/ dirs whose row counts
+    reconcile with the input."""
+    from assetdatavalidationtool_spark.rules import split_violations, write_split
+
+    rs = RuleSet([UniquenessRule(["image_id"]), ReferentialRule()])
+    res = rs.run(ctx)
+    parts = split_violations(ctx, res["violations"])
+    out = str(tmp_path / "split")
+    write_split(parts["tagged"], out)
+    res["violations"].unpersist()
+    spark = ctx.spark
+    clean = spark.read.parquet(f"{out}/status=clean")
+    quar = spark.read.parquet(f"{out}/status=quarantine")
+    assert clean.count() + quar.count() == ctx.images.count()
+    assert quar.count() == 2 * DUPS + DROPPED
+    assert "rules_hit" in quar.columns and "n_violations" in quar.columns
