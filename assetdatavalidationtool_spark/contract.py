@@ -2917,6 +2917,172 @@ _CAPTION_STATS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact byte-level duplicate groups — the FIRST dedup pass of an image
+# corpus (content digest before any perceptual compare). Payloads derive
+# from orders with planted collisions: every 131st key shares one of 3
+# payloads; everything else is unique. md5 hashes raw UTF-8 bytes on
+# both engines, so the digests (and the min-id canonical policy) match
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+_EXACT_DUP_SQL = """
+    WITH imgs AS (
+      SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+             CASE WHEN k % 131 = 0 THEN 'dup_' || CAST(k % 3 AS VARCHAR)
+                  ELSE 'uniq_' || CAST(k AS VARCHAR) END AS payload
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+    )
+    SELECT md5(payload) AS digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(image_id) AS canonical
+    FROM imgs GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("image_exact_dup", _EXACT_DUP_SQL)
+def q_image_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import exact_duplicates
+
+    k = F.col("o_orderkey").cast("long")
+    payload = F.when(
+        k % 131 == 0, F.concat(F.lit("dup_"), (k % 3).cast("string"))
+    ).otherwise(F.concat(F.lit("uniq_"), k.cast("string")))
+    imgs = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        F.encode(payload, "UTF-8").alias("bytes"),
+    )
+    return exact_duplicates(imgs)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate captions — captions shared verbatim across many DISTINCT
+# images ("click to enlarge"-class template text; the standard LAION-
+# style screen). Two boilerplate strings are planted (one with extra
+# whitespace + mixed case to exercise the shared normalization); all
+# other captions are unique per image and must NOT appear.
+# ---------------------------------------------------------------------------
+_BOILERPLATE_SQL = """
+    WITH caps AS (
+      SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+             CASE WHEN k % 17 = 0 THEN 'Click  Here to Download'
+                  WHEN k % 23 = 0 THEN 'image may contain text'
+                  ELSE 'photo of item ' || CAST(k AS VARCHAR) END AS caption
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+    ), n AS (
+      SELECT regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g') AS caption,
+             image_id
+      FROM caps
+    )
+    SELECT caption,
+           CAST(count(DISTINCT image_id) AS BIGINT) AS n_images,
+           min(image_id) AS sample_id
+    FROM n GROUP BY caption HAVING count(DISTINCT image_id) >= 5
+"""
+
+
+@register("image_caption_boilerplate", _BOILERPLATE_SQL)
+def q_image_caption_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import boilerplate_captions
+
+    k = F.col("o_orderkey").cast("long")
+    caption = (
+        F.when(k % 17 == 0, F.lit("Click  Here to Download"))
+        .when(k % 23 == 0, F.lit("image may contain text"))
+        .otherwise(F.concat(F.lit("photo of item "), k.cast("string")))
+    )
+    caps = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        caption.alias("caption"),
+    )
+    return boilerplate_captions(caps, min_images=5)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-column distribution quantiles via a value-histogram CDF —
+# integer arithmetic end to end (smallest value whose cum*100 >=
+# total*q), so Spark and the oracle agree bit-for-bit with no float
+# interpolation. Profiles the image meta columns the gate rules read.
+# ---------------------------------------------------------------------------
+_DIM_QUANTILES_SQL = f"""
+    WITH {_IMAGE_META_CTE}, m AS (
+      SELECT 'w' AS col_name, w AS val FROM meta WHERE w IS NOT NULL
+      UNION ALL
+      SELECT 'h', h FROM meta WHERE h IS NOT NULL
+      UNION ALL
+      SELECT 'n_bytes', n_bytes FROM meta WHERE n_bytes IS NOT NULL
+    ), hist AS (
+      SELECT col_name, val, count(*) AS n FROM m GROUP BY 1, 2
+    ), c AS (
+      SELECT col_name, val,
+             sum(n) OVER (PARTITION BY col_name ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY col_name) AS total,
+             count(*) OVER (PARTITION BY col_name) AS nd
+      FROM hist
+    )
+    SELECT col_name,
+           CAST(max(total) AS BIGINT) AS n_values,
+           CAST(max(nd) AS BIGINT) AS n_distinct,
+           CAST(min(CASE WHEN cum*100 >= total*50 THEN val END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum*100 >= total*90 THEN val END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum*100 >= total*99 THEN val END) AS BIGINT) AS p99
+    FROM c GROUP BY 1
+"""
+
+
+@register("image_dim_quantiles", _DIM_QUANTILES_SQL)
+def q_image_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import value_quantiles
+
+    return value_quantiles(
+        _image_meta_table(spark, sf_dir), ["w", "h", "n_bytes"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal pair consistency (CLIP-score filter shape): even vec_ids
+# play the image embedding, vec_id+1 the caption embedding of the same
+# pair; cosine below 0 flags the caption as unrelated. Status is
+# computed on the UNROUNDED cosine on both engines (identical
+# left-to-right double accumulation), rounding is display-only.
+# ---------------------------------------------------------------------------
+_CROSSMODAL_SQL = """
+    WITH a AS (
+      SELECT vec_id // 2 AS pair_id, embedding::DOUBLE[] AS va
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), b AS (
+      SELECT vec_id // 2 AS pair_id, embedding::DOUBLE[] AS vb
+      FROM embeddings WHERE vec_id % 2 = 1
+    ), s AS (
+      SELECT a.pair_id,
+             list_dot_product(va, vb) /
+             (sqrt(list_dot_product(va, va)) *
+              sqrt(list_dot_product(vb, vb))) AS c
+      FROM a JOIN b USING (pair_id)
+    )
+    SELECT pair_id, round(c, 4) AS cosine,
+           CASE WHEN c < 0.0 THEN 'low' ELSE 'ok' END AS status
+    FROM s
+"""
+
+
+@register("crossmodal_consistency", _CROSSMODAL_SQL)
+def q_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import crossmodal_consistency
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("vec_b"),
+    )
+    return crossmodal_consistency(a.join(b, "pair_id"), threshold=0.0)
+
+
 @register("image_caption_stats", _CAPTION_STATS_SQL)
 def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.images import aspect_bucket_expr

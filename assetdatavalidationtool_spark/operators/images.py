@@ -258,3 +258,35 @@ def compression_stats(
             F.sum("over").alias("n_over"),
         )
     )
+
+
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Exact byte-level duplicate groups → (digest, n_copies, canonical).
+
+    The first dedup pass of every image corpus: identical payloads
+    (same file scraped from N URLs) collapse on a content digest BEFORE
+    the far costlier perceptual pass (see phash_neardup_pairs) runs on
+    what remains. ``canonical`` is the lexicographically-smallest id in
+    the group — a deterministic keep policy the pHash canonical query
+    mirrors.
+
+    Scale: md5 runs JVM-side in the scan stage; the shuffle carries
+    (digest, id) pairs only — 48 bytes/row instead of the image payload
+    — and partial aggregation collapses same-digest rows map-side. One
+    hash aggregate total; the reference's exact-key analogue is the
+    first-row-wins key index (ReportGenerator.cs:150-156), which DROPS
+    duplicates silently — here every group is reported with its size.
+    """
+    return (
+        df.select(F.md5(F.col(bytes_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

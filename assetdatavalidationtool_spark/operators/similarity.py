@@ -596,3 +596,35 @@ def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def crossmodal_consistency(
+    pairs: DataFrame,
+    pair_id: str = "pair_id",
+    vec_a: str = "vec_a",
+    vec_b: str = "vec_b",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Paired-embedding cosine screen → (pair_id, cosine, status).
+
+    The CLIP-score filter shape for an image+caption corpus: each row
+    carries the image-side and caption-side embedding of ONE pair; a
+    cosine below ``threshold`` marks the caption as unrelated to its
+    image ('low'), the standard pre-training screen for scraped pairs.
+    The cross-modal analogue of the reference's per-key value diff
+    (Validator.cs compares paired field values; here the "values" are
+    embeddings and equality is a similarity band).
+
+    The status test uses the UNROUNDED cosine; rounding is display-only
+    (4 dp) so results are oracle-portable. Scale: pure Column
+    arithmetic per row (zip_with/aggregate in double), no shuffle at
+    all if the pairing join upstream already co-located the two sides;
+    at 10^12 pairs this is a single map stage over the joined table.
+    """
+    a, b = F.col(vec_a), F.col(vec_b)
+    c = _dot(a, b) / (_norm(a) * _norm(b))
+    return pairs.select(
+        F.col(pair_id),
+        F.round(c, 4).alias("cosine"),
+        F.when(c < threshold, "low").otherwise("ok").alias("status"),
+    )

@@ -353,3 +353,38 @@ def unigram_logprob(
         .over(Window.orderBy(avg_nll, F.col("doc_id")))
         .alias("ppl_bucket"),
     )
+
+
+def boilerplate_captions(
+    df: DataFrame,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    min_images: int = 5,
+) -> DataFrame:
+    """Captions shared verbatim across ≥ min_images distinct images →
+    (caption, n_images, sample_id).
+
+    Scraped image-text corpora are full of template captions ("click to
+    enlarge", alt-text boilerplate) that carry zero training signal and
+    skew caption statistics; flagging any caption attached to many
+    DISTINCT images is the standard screen (the caption-side analogue of
+    the reference's duplicate-key report, ReportGenerator.cs:150-156).
+
+    Normalization is the same lower/trim/whitespace-collapse every text
+    operator uses, so a caption differing only in case/spacing still
+    groups. Scale: one hash aggregate keyed on the normalized caption;
+    count(DISTINCT id) plans as a two-phase aggregate (partial distinct
+    map-side), and only (caption, id) pairs shuffle — never the image
+    payload. Boilerplate by definition concentrates rows on few keys;
+    the distinct pre-aggregation is exactly the salting such skew needs.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(caption_col))), r"\s+", " ")
+    return (
+        df.select(norm.alias("caption"), F.col(id_col))
+        .groupBy("caption")
+        .agg(
+            F.countDistinct(id_col).alias("n_images"),
+            F.min(id_col).alias("sample_id"),
+        )
+        .where(F.col("n_images") >= min_images)
+    )

@@ -1304,3 +1304,80 @@ def test_connected_components_registers_tempdir_sweep(spark):
     dd._sweep_cc_roots()
     assert not os.path.isdir(root)
     del dd._TEMP_CC_ROOTS[:]
+
+
+def test_exact_duplicates_groups_and_canonical(spark):
+    """Identical payloads group on digest; singletons are dropped; the
+    canonical id is the lexicographic minimum of each group."""
+    from assetdatavalidationtool_spark.operators.images import exact_duplicates
+
+    rows = [
+        ("img_3", b"same"),
+        ("img_1", b"same"),
+        ("img_2", b"same"),
+        ("img_9", b"other"),
+        ("img_8", b"other"),
+        ("img_7", b"unique"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["canonical"]: r["n_copies"] for r in exact_duplicates(df).collect()}
+    assert got == {"img_1": 3, "img_8": 2}
+
+
+def test_boilerplate_captions_normalizes_and_thresholds(spark):
+    """Case/whitespace variants of one template group together; captions
+    below min_images distinct images are dropped; duplicate (caption,id)
+    rows count once via the DISTINCT."""
+    from assetdatavalidationtool_spark.operators.text import boilerplate_captions
+
+    rows = (
+        [(f"img_{i}", "Click  HERE to   download") for i in range(3)]
+        + [(f"img_{i + 3}", "click here to download ") for i in range(2)]
+        + [("img_3", "click here to download")]  # dup id — counts once
+        + [(f"img_{i + 10}", "rare caption") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = boilerplate_captions(df, min_images=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["caption"] == "click here to download"
+    assert r["n_images"] == 5 and r["sample_id"] == "img_0"
+
+
+def test_value_quantiles_cdf_exact(spark):
+    """Integer CDF quantiles: smallest value whose cumulative count
+    covers the target rank; NULLs excluded; duplicates weighted."""
+    from assetdatavalidationtool_spark.operators.stats import value_quantiles
+
+    rows = [(v, 100 - v) for v in range(1, 11)] + [(None, 7), (5, 50)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {r["col_name"]: r for r in value_quantiles(df, ["a", "b"]).collect()}
+    a = got["a"]
+    # a: values 1..10 plus an extra 5 -> 11 values, 10 distinct
+    assert a["n_values"] == 11 and a["n_distinct"] == 10
+    assert a["p50"] == 5   # cum at 5 is 6; 600 >= 550
+    assert a["p90"] == 9   # cum at 9 is 10; 1000 >= 990
+    assert a["p99"] == 10
+    b = got["b"]
+    assert b["n_values"] == 12 and b["n_distinct"] == 12  # incl. the null-a row's b=7
+    assert b["p50"] == 93 and b["p99"] == 99
+
+
+def test_crossmodal_consistency_flags_unrelated_pairs(spark):
+    """Identical -> 1.0 ok; opposite -> -1.0 low; orthogonal -> 0.0 ok
+    (threshold test is strict <, on the unrounded value)."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        crossmodal_consistency,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),
+        (1, [1.0, 0.0], [-1.0, 0.0]),
+        (2, [1.0, 0.0], [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, vec_a array<float>, vec_b array<float>"
+    )
+    got = {r["pair_id"]: (r["cosine"], r["status"])
+           for r in crossmodal_consistency(df).collect()}
+    assert got == {0: (1.0, "ok"), 1: (-1.0, "low"), 2: (0.0, "ok")}
