@@ -208,3 +208,45 @@ def test_cli_validate_connectors(spark, tmp_path_factory):
     # os conflicts on S1 (linux/macos/linux)
     assert r["Conflicts"] == 1
     assert os.path.isdir(f"{out}/Summary")
+
+
+def test_spark_submit_py_files_deployment(images_dir, tmp_path_factory):
+    """The literal deployment path: package the library into engine.zip
+    and run the job under `spark-submit --py-files engine.zip` from a
+    cwd OUTSIDE the repo with PYTHONPATH stripped, so every import must
+    resolve from the shipped zip (what a multi-executor cluster sees)."""
+    import shutil
+
+    import pyspark
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    work = tmp_path_factory.mktemp("submit")
+    zip_path = shutil.make_archive(
+        str(work / "engine"), "zip",
+        root_dir=REPO, base_dir="assetdatavalidationtool_spark",
+    )
+    out_dir = str(work / "out")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    res = subprocess.run(
+        [
+            spark_submit,
+            "--py-files", zip_path,
+            f"{REPO}/run_validation.py",
+            "--images", str(images_dir / "images"),
+            "--captions", str(images_dir / "captions"),
+            "--output", out_dir, "--run-id", "zip1",
+            "--num-buckets", "4", "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(work), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rules_run"] == 9
+    assert summary["total_violations"] >= 2 + 3 + 4
