@@ -307,3 +307,66 @@ def test_split_tagged_single_scan_reuses_persisted_violations(ctx):
     assert head.count("Scan parquet") == 1
     # one join only: the per-key violation aggregate joined to the input
     assert head.count("Join") == 1
+
+
+def test_exact_dup_single_aggregate_no_bytes_shuffle(spark):
+    """Exact dedup is ONE hash aggregate on (digest) — the payload
+    column is projected into md5 in the scan stage and never shuffles;
+    the exchange carries digest+id only."""
+    p = plan(QUERIES["image_exact_dup"].fn(spark, SF))
+    n_exchange = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l
+        and "AQEShuffleRead" not in l
+    )
+    assert n_exchange == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_boilerplate_distinct_is_two_phase(spark):
+    """count(DISTINCT id) must plan as partial-distinct aggregates (two
+    exchanges max: (caption,id) then (caption)) — not a single-reducer
+    distinct. Boilerplate keys are skewed by definition; the (caption,
+    id) pre-aggregate IS the salting."""
+    p = plan(QUERIES["image_caption_boilerplate"].fn(spark, SF))
+    n_exchange = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l
+        and "AQEShuffleRead" not in l
+    )
+    assert n_exchange <= 2, p
+    # partial/final × two phases; min(string)'s immutable buffer makes
+    # Spark pick SortAggregate here — either node kind satisfies the gate
+    n_aggs = p.count("HashAggregate") + p.count("SortAggregate")
+    assert n_aggs >= 3, p
+
+
+def test_dim_quantiles_shuffles_distinct_values_only(spark):
+    """The CDF walk: one exchange for the (col,val) histogram, one tiny
+    re-key by col for the windows + final agg; both window frames share
+    one sort. No Python, no whole-table sort."""
+    p = plan(QUERIES["image_dim_quantiles"].fn(spark, SF))
+    n_exchange = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l
+        and "AQEShuffleRead" not in l
+    )
+    assert n_exchange <= 3, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the full-row sort an exact percentile() would need must NOT appear
+    # before the first aggregate: Sort nodes may only follow the histogram
+    first_agg = p.find("HashAggregate")
+    assert "Sort" not in p[:first_agg], p
+
+
+def test_crossmodal_cosine_is_pure_column_math(spark):
+    """The cosine screen adds NO exchange beyond the pairing join and
+    never leaves the JVM (zip_with/aggregate in double)."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        crossmodal_consistency,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], [0.0, 1.0])],
+        "pair_id long, vec_a array<float>, vec_b array<float>",
+    )
+    p = plan(crossmodal_consistency(df))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
