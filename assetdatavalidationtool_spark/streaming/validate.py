@@ -136,3 +136,91 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization → closed sessions, one row each:
+    (user_id, session_start, session_end, n_events).
+
+    The custom stateful operator Spark's built-ins can't express when
+    downstream needs ONE row per closed session as soon as it closes
+    (``F.session_window`` re-emits updated windows; this emits exactly
+    once, in append mode). Implemented with ``applyInPandasWithState``:
+    state per user is the open session triple (start_us, last_us, n) in
+    integer microseconds — the same gap arithmetic as the batch twin
+    ``operators.events.sessionize``, which the streaming test uses as
+    its oracle on identical input.
+
+    A session closes two ways: a later event of the same user arrives
+    more than ``gap_minutes`` after it (emitted within the batch), or
+    the event-time watermark passes session_end + gap (state timeout —
+    emitted in the timeout batch, including Spark's no-data micro-batch
+    after the input drains). Scale: state is 24 bytes per ACTIVE user,
+    keyed shuffle on user only, Arrow-batched per group — no per-row
+    Python, no unbounded state (the timeout is the eviction).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def _close(user, start_us, last_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([user], dtype="int64"),
+                "session_start": pd.to_datetime([start_us], unit="us"),
+                "session_end": pd.to_datetime([last_us], unit="us"),
+                "n_events": pd.array([n], dtype="int64"),
+            }
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _close(user, start_us, last_us, n)
+            return
+        ts_us: list[int] = []
+        for pdf in pdf_iter:
+            s = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+            ts_us.extend((s.astype("int64") // 1000).tolist())
+        ts_us.sort()
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield _close(user, *cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # event-time timeout must sit above the current watermark
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_start timestamp, "
+            "session_end timestamp, n_events long"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

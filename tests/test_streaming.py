@@ -105,3 +105,69 @@ def test_stream_replay_is_idempotent(spark, tmp_path_factory):
         spark.read.parquet(f"{out}/verdicts").agg(F.sum("rows_scanned")).collect()[0][0]
         == first_scanned
     )
+
+
+def test_stream_sessionize_matches_batch_oracle(spark, tmp_path_factory):
+    """The stateful streaming sessionizer (applyInPandasWithState) must
+    produce EXACTLY the batch sessionize() result on identical events:
+    sessions split within one batch, continue across batches through
+    state, and close via event-time timeout once the watermark (driven
+    by a far-future sentinel user) passes session_end + gap."""
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+    from assetdatavalidationtool_spark.streaming.validate import stream_sessionize
+
+    base = tmp_path_factory.mktemp("sess")
+    src, out, ck = str(base / "in"), str(base / "out"), str(base / "ck")
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def rows(user, offsets_min, start_id):
+        return [
+            (start_id + i, t0 + dt.timedelta(minutes=m), user, "c", 1.0, "")
+            for i, m in enumerate(offsets_min)
+        ]
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # file 1: user 1 has two sessions (65-min gap splits in-batch);
+    # user 2 has one open session
+    f1 = rows(1, [0, 10, 20, 85, 95], 100) + rows(2, [0, 5], 200)
+    # file 2: user 2 continues within the gap (state carries across
+    # batches); sentinel user 999 ten days later drives the watermark
+    # past every real session_end + gap so all sessions time out closed
+    f2 = rows(2, [25, 40], 300) + [
+        (900, t0 + dt.timedelta(days=10), 999, "c", 1.0, "")
+    ]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != 999)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    all_events = spark.createDataFrame(f1 + f2, schema).where(
+        F.col("user_id") != 999
+    )
+    exp = sessionize(all_events, "user_id", "ts", "event_id", gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    assert got.count() == 3  # u1 x2 (in-batch split) + u2 x1 (cross-batch)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
