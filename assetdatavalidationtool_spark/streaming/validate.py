@@ -224,3 +224,88 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming exact dedup against a persisted digest LEDGER: each
+    micro-batch keeps only payloads whose content digest was never seen
+    in any PRIOR batch, then appends its new digests to the ledger.
+
+    Why not ``dropDuplicatesWithinWatermark``: the state store must
+    hold every digest inside the watermark horizon per executor — at
+    10^12 images the horizon for "ever seen" is unbounded, so the state
+    belongs in a TABLE, not executor memory. The ledger is parquet
+    keyed by digest (at scale: bucketed/Iceberg so the anti-join
+    co-locates); the batch side anti-joins it once per trigger.
+
+    Effectively-once on at-least-once foreachBatch: both sinks
+    dynamically overwrite exactly their own ``batch_id=N`` partition,
+    and the anti-join reads only ledger partitions ``batch_id < N`` —
+    a replayed batch therefore ignores its OWN crashed half-write and
+    reproduces it instead of dropping everything as a duplicate.
+
+    Within a batch, the kept copy is the min-id row per digest — the
+    same canonical policy as the batch ``exact_duplicates`` operator.
+    """
+    reader = spark.readStream.schema(
+        spark.read.parquet(input_dir).schema
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    ledger_dir = f"{output_dir}/digest_ledger"
+    kept_dir = f"{output_dir}/kept"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("digest").orderBy(id_col)
+        batch = (
+            batch_df.withColumn("digest", F.md5(F.col(bytes_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            seen = spark.read.parquet(ledger_dir).where(
+                F.col("batch_id") < batch_id
+            ).select("digest")
+        except Exception:
+            seen = None  # first batch: no ledger yet
+        kept = batch if seen is None else batch.join(
+            seen, "digest", "left_anti"
+        )
+        kept = kept.withColumn("batch_id", F.lit(batch_id)).persist()
+        (
+            kept.drop(bytes_col).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
+        (
+            kept.select("digest", "batch_id").write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ledger_dir)
+        )
+        kept.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

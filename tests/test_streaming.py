@@ -171,3 +171,42 @@ def test_stream_sessionize_matches_batch_oracle(spark, tmp_path_factory):
     )
     assert got.count() == 3  # u1 x2 (in-batch split) + u2 x1 (cross-batch)
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_ledger_across_batches(spark, tmp_path_factory):
+    """Digest-ledger streaming dedup: within-batch dups collapse to the
+    min-id row, cross-batch dups are dropped by the ledger anti-join,
+    and a full replay (fresh checkpoint, same input) reproduces the
+    same kept set because each batch ignores its own ledger partition."""
+    from assetdatavalidationtool_spark.streaming.validate import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src = str(base / "in")
+    schema = "image_id string, bytes binary"
+    f1 = [("img_2", b"A"), ("img_1", b"A"), ("img_3", b"B")]
+    f2 = [("img_4", b"B"), ("img_5", b"C")]  # B is a cross-batch dup
+    f3 = [("img_6", b"A"), ("img_7", b"D")]
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out1 = str(base / "out1")
+    stream_dedup_exact(
+        spark, src, out1, str(base / "ck1"), max_files_per_trigger=1
+    )
+    kept = spark.read.parquet(f"{out1}/kept")
+    ids = {r["image_id"] for r in kept.collect()}
+    assert ids == {"img_1", "img_3", "img_5", "img_7"}
+    # ledger holds each digest exactly once
+    ledger = spark.read.parquet(f"{out1}/digest_ledger")
+    assert ledger.count() == ledger.select("digest").distinct().count() == 4
+
+    # replay from scratch: same input, fresh checkpoint/output
+    out2 = str(base / "out2")
+    stream_dedup_exact(
+        spark, src, out2, str(base / "ck2"), max_files_per_trigger=1
+    )
+    kept2 = spark.read.parquet(f"{out2}/kept")
+    assert kept2.count() == 4
+    assert kept2.select("digest").distinct().count() == 4
