@@ -370,3 +370,44 @@ def test_crossmodal_cosine_is_pure_column_math(spark):
     p = plan(crossmodal_consistency(df))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bucketed_layout_makes_referential_exchange_free(spark, tmp_path_factory):
+    """Write both corpus sides bucketed by the join key: the
+    referential containment check (distinct keys + full-outer join)
+    must then plan with ZERO Exchange nodes — the write-time shuffle
+    is the last one the key ever needs. Broadcast is disabled so the
+    gate proves co-location, not small-table luck."""
+    from assetdatavalidationtool_spark.rules import ReferentialRule, RuleContext
+    from assetdatavalidationtool_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    d = tmp_path_factory.mktemp("buck")
+    img = spark.range(0, 500).selectExpr(
+        "concat('img_', id) AS image_id", "cast(id % 7 AS int) AS w"
+    )
+    cap = spark.range(0, 480).selectExpr(
+        "concat('img_', id) AS image_id", "concat('cap ', id) AS caption"
+    )
+    write_bucketed(img, "t_img_b", str(d / "img"), ["image_id"], 8)
+    write_bucketed(cap, "t_cap_b", str(d / "cap"), ["image_id"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ctx = RuleContext(
+            spark=spark,
+            images=read_bucketed(spark, "t_img_b"),
+            captions=read_bucketed(spark, "t_cap_b"),
+            num_buckets=8,
+        )
+        vio = ReferentialRule().violations(ctx)
+        p = plan(vio)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+        assert vio.count() == 20  # img_480..img_499 missing captions
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_img_b")
+        spark.sql("DROP TABLE IF EXISTS t_cap_b")
