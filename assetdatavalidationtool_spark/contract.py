@@ -1454,6 +1454,44 @@ def q_event_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# semi-structured props: typed extraction with a PINNED schema
+# (from_json("k long") — no per-batch schema inference race), then a
+# plain aggregate. Extraction is JVM codegen; the string never shuffles
+# (only event_type + the extracted long do). DuckDB json_extract is the
+# oracle.
+@register(
+    "event_props_json",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM e GROUP BY event_type
+    """,
+)
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deltas — baseline-vs-other cell mismatches via explicit column mapping
 # (ReportGenerator.cs:208-317). Baseline = customer; other = perturbed
