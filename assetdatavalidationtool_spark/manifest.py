@@ -134,47 +134,10 @@ class ValidationRun:
         none of it. (On an object store this seam is where an Iceberg
         snapshot commit swaps in; the layout and latest-seq-wins
         semantics are unchanged.) If the manifest path is not a local
-        filesystem path, fall back to the plain append.
+        filesystem path, fall back to the plain append. Shared with
+        ``expire_runs`` via the module-level publisher below.
         """
-        import glob
-        import os
-        import shutil
-        import uuid
-
-        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1)
-        mpath = self._manifest_path()
-        if "://" in mpath and not mpath.startswith("file://"):
-            df.write.mode("append").parquet(mpath)
-            return
-        mdir = mpath[len("file://"):] if mpath.startswith("file://") else mpath
-        batch = uuid.uuid4().hex
-        staging_root = f"{os.path.dirname(mdir)}/.manifest_staging"
-        staging = f"{staging_root}/{batch}"
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(mdir, exist_ok=True)
-        files = sorted(glob.glob(f"{staging}/*.parquet"))
-        if len(files) != 1:
-            # A real error, not assert: under python -O a silently-renamed
-            # files[0] would drop the rest of the batch — a torn batch,
-            # the exact failure the atomic rename exists to prevent.
-            raise RuntimeError(
-                f"expected exactly one staged manifest file, got {files}"
-            )
-        os.rename(files[0], f"{mdir}/batch-{batch}.parquet")
-        shutil.rmtree(staging, ignore_errors=True)
-        # GC: a crash between write and rename leaves orphan staging
-        # dirs. Sweep only entries older than an hour — a younger
-        # sibling may be a concurrent publisher mid-flight — then drop
-        # the parent if that left it empty.
-        try:
-            cutoff = time.time() - 3600
-            for stale in os.listdir(staging_root):
-                p = f"{staging_root}/{stale}"
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            os.rmdir(staging_root)
-        except OSError:
-            pass
+        _publish_manifest_batch(self.spark, self._manifest_path(), rows)
 
     # -- execution ---------------------------------------------------------
     def run(self, images: DataFrame, captions: DataFrame | None = None) -> dict:
@@ -350,3 +313,137 @@ class ValidationRun:
         return self.spark.read.option("basePath", f"{self.out}/metrics").parquet(
             f"{self.out}/metrics/run_id={self.run_id}"
         )
+
+
+def _publish_manifest_batch(
+    spark: SparkSession, mpath: str, rows: list[tuple]
+) -> None:
+    """Write one manifest batch as ONE parquet file and os.rename it
+    into the manifest dir — atomic on POSIX, so concurrent readers see
+    the whole batch or none of it (see ValidationRun._append_manifest
+    for the full rationale). Non-local paths fall back to plain append.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    df = spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1)
+    if "://" in mpath and not mpath.startswith("file://"):
+        df.write.mode("append").parquet(mpath)
+        return
+    mdir = mpath[len("file://"):] if mpath.startswith("file://") else mpath
+    batch = uuid.uuid4().hex
+    staging_root = f"{os.path.dirname(mdir)}/.manifest_staging"
+    staging = f"{staging_root}/{batch}"
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(mdir, exist_ok=True)
+    files = sorted(glob.glob(f"{staging}/*.parquet"))
+    if len(files) != 1:
+        # A real error, not assert: under python -O a silently-renamed
+        # files[0] would drop the rest of the batch — a torn batch,
+        # the exact failure the atomic rename exists to prevent.
+        raise RuntimeError(
+            f"expected exactly one staged manifest file, got {files}"
+        )
+    os.rename(files[0], f"{mdir}/batch-{batch}.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
+    # GC: a crash between write and rename leaves orphan staging
+    # dirs. Sweep only entries older than an hour — a younger
+    # sibling may be a concurrent publisher mid-flight — then drop
+    # the parent if that left it empty.
+    try:
+        cutoff = time.time() - 3600
+        for stale in os.listdir(staging_root):
+            p = f"{staging_root}/{stale}"
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        os.rmdir(staging_root)
+    except OSError:
+        pass
+
+
+def expire_runs(
+    spark: SparkSession,
+    output_dir: str,
+    keep_last: int | None = None,
+    keep_run_ids: tuple[str, ...] | list[str] = (),
+) -> dict:
+    """Retire old validation runs — the Iceberg expire-snapshots analog
+    for the checkpoint layout. Returns {"kept", "expired", "tombstones"}.
+
+    Runs are ordered by their newest manifest ``seq``; the keep set is
+    ``keep_run_ids`` plus the ``keep_last`` most recent. For every
+    expired run this (1) FIRST appends tombstone rows (status
+    ``expired``, seq above every existing one) for each (rule, bucket)
+    currently ``done`` — latest-seq-wins makes ``completed()`` empty,
+    so a later resume under that run_id recomputes instead of trusting
+    deleted data — then (2) deletes the run's violations/verdicts/
+    metrics/split partitions. A crash between the two leaves only
+    orphan data dirs (harmless: re-running expire removes them); the
+    reverse order could leave a manifest that vouches for vanished
+    parquet. The manifest itself stays append-only — the audit trail
+    of expired runs survives their data.
+    """
+    import shutil
+
+    if "://" in output_dir and not output_dir.startswith("file://"):
+        raise NotImplementedError(
+            "expire_runs deletes via the local filesystem; wire an "
+            "object-store lister/deleter for remote layouts"
+        )
+    root = (
+        output_dir[len("file://"):]
+        if output_dir.startswith("file://")
+        else output_dir
+    )
+    m = spark.read.parquet(f"{root}/manifest")
+    # Latest status per (run, rule, bucket); only LIVE ('done')
+    # partitions define a run's existence and recency — tombstones
+    # carry high seqs by design and must not make an expired run look
+    # newest, and a fully-tombstoned ghost must drop out entirely.
+    w = Window.partitionBy("run_id", "rule", "bucket").orderBy(F.desc("seq"))
+    live = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .where(F.col("status") == "done")
+        .select("run_id", "rule", "bucket", "seq")
+        .persist()
+    )
+    ordered = [
+        r["run_id"]
+        for r in live.groupBy("run_id")
+        .agg(F.max("seq").alias("last_seq"))
+        .orderBy(F.desc("last_seq"), "run_id")
+        .collect()
+    ]
+    keep = set(keep_run_ids)
+    if keep_last is not None:
+        keep |= set(ordered[:keep_last])
+    expired = [rid for rid in ordered if rid not in keep]
+    if not expired:
+        live.unpersist()
+        return {"kept": ordered, "expired": [], "tombstones": 0}
+
+    max_seq = m.agg(F.max("seq")).collect()[0][0]
+    latest_done = (
+        live.where(F.col("run_id").isin(expired))
+        .select("run_id", "rule", "bucket")
+        .collect()
+    )
+    live.unpersist()
+    rows = [
+        (r["run_id"], r["rule"], int(r["bucket"]), "expired", 0, 0, 0.0,
+         int(max_seq) + 1)
+        for r in latest_done
+    ]
+    if rows:
+        _publish_manifest_batch(spark, f"{root}/manifest", rows)
+    for rid in expired:
+        for kind in ("violations", "verdicts", "metrics", "split"):
+            shutil.rmtree(f"{root}/{kind}/run_id={rid}", ignore_errors=True)
+    return {
+        "kept": [rid for rid in ordered if rid in keep],
+        "expired": expired,
+        "tombstones": len(rows),
+    }

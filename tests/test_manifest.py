@@ -331,3 +331,68 @@ def test_split_from_persisted_violations(spark, data, tmp_path_factory):
     img_keys = {r["image_id"] for r in images.select("image_id").collect()}
     q_keys = {r["image_id"] for r in quar.select("image_id").collect()}
     assert q_keys == (vio_keys & img_keys)
+
+
+def test_expire_runs_keep_last(spark, data, tmp_path_factory):
+    """expire_runs removes old runs' data, tombstones their manifest
+    entries (so a resume recomputes instead of trusting deleted
+    parquet), and leaves the kept run byte-identical."""
+    import os
+    import time as _time
+
+    from assetdatavalidationtool_spark.manifest import expire_runs
+
+    images, captions = data
+    out = str(tmp_path_factory.mktemp("expire_run"))
+    for rid in ("old1", "old2", "new1"):
+        ValidationRun(
+            spark, out, make_rules(), num_buckets=8, run_id=rid
+        ).run(images, captions)
+        _time.sleep(1.1)  # seq is ms-grained per run start; keep order strict
+
+    new_run = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="new1")
+    kept_vio_before = _vio_set(new_run)
+
+    res = expire_runs(spark, out, keep_last=1)
+    assert res["expired"] == ["old2", "old1"] or set(res["expired"]) == {"old1", "old2"}
+    assert res["kept"] == ["new1"]
+    assert res["tombstones"] > 0
+
+    for rid in ("old1", "old2"):
+        for kind in ("violations", "verdicts", "metrics"):
+            assert not os.path.isdir(f"{out}/{kind}/run_id={rid}")
+    assert os.path.isdir(f"{out}/violations/run_id=new1")
+    assert _vio_set(new_run) == kept_vio_before
+
+    # resume semantics: the expired run recomputes everything...
+    old = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="old1")
+    assert old.completed() == {}
+    s = old.run(images, captions)
+    assert s["rules_run"] == len(make_rules()) and s["rules_skipped"] == 0
+    # ...while the kept run still no-op resumes
+    s2 = new_run.run(images, captions)
+    assert s2["rules_run"] == 0
+
+    # idempotent: nothing left to expire except the recomputed old1
+    res2 = expire_runs(spark, out, keep_last=2)
+    assert res2["expired"] == []
+
+
+def test_expire_runs_keep_run_ids_override(spark, data, tmp_path_factory):
+    """An explicitly-kept run survives even when keep_last would drop it."""
+    import os
+    import time as _time
+
+    from assetdatavalidationtool_spark.manifest import expire_runs
+
+    images, _ = data
+    out = str(tmp_path_factory.mktemp("expire_keep"))
+    for rid in ("a", "b"):
+        ValidationRun(
+            spark, out, make_rules()[:1], num_buckets=8, run_id=rid
+        ).run(images)
+        _time.sleep(1.1)
+
+    res = expire_runs(spark, out, keep_last=1, keep_run_ids=["a"])
+    assert res["expired"] == [] and set(res["kept"]) == {"a", "b"}
+    assert os.path.isdir(f"{out}/violations/run_id=a")
