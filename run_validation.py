@@ -196,6 +196,11 @@ def main() -> None:
                     help="after the rule run, write the clean/quarantine "
                     "row split under OUTPUT/split/run_id=RUN_ID/ (one "
                     "scan, partitioned by status; no rule re-execution)")
+    ap.add_argument("--expire-keep-last", type=int, default=None, metavar="N",
+                    help="after the run, expire every run in OUTPUT except "
+                    "the N most recent (tombstones their manifest entries, "
+                    "deletes their data partitions; this run always "
+                    "survives — it is the newest)")
     ap.add_argument("--validate-connectors", default=None, metavar="CONFIG.json",
                     help="run the cross-source asset-validation suite "
                     "(KeyPresence/MatchesAll/MissingByFile/Conflicts) over "
@@ -269,6 +274,16 @@ def main() -> None:
 
     split_path = run.split(images) if args.split else None
 
+    expire_summary = None
+    if args.expire_keep_last is not None:
+        from assetdatavalidationtool_spark.manifest import expire_runs
+
+        expire_summary = expire_runs(
+            spark, args.output,
+            keep_last=args.expire_keep_last,
+            keep_run_ids=[args.run_id],
+        )
+
     verdicts = run.verdicts()
     failed = verdicts.where(~(F.col("violation_count") == 0)).count()
     total_vio = verdicts.agg(F.sum("violation_count")).collect()[0][0]
@@ -281,6 +296,8 @@ def main() -> None:
     }
     if split_path is not None:
         out["split"] = split_path
+    if expire_summary is not None:
+        out["expired_runs"] = expire_summary["expired"]
     print(json.dumps(out))
 
 

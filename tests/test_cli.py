@@ -250,3 +250,19 @@ def test_spark_submit_py_files_deployment(images_dir, tmp_path_factory):
     summary = json.loads(line)
     assert summary["rules_run"] == 9
     assert summary["total_violations"] >= 2 + 3 + 4
+
+
+def test_cli_expire_keep_last(images_dir, tmp_path_factory):
+    """--expire-keep-last N retires older runs from the CLI: their data
+    partitions vanish, the manifest tombstones them, and the current
+    run (always kept) still no-op resumes afterwards."""
+    out = str(tmp_path_factory.mktemp("cli_expire"))
+    common = ["--images", str(images_dir / "images"),
+              "--output", out, "--num-buckets", "4", "--cores", "4"]
+    _run_cli(*common, "--run-id", "e_old")
+    r = _run_cli(*common, "--run-id", "e_new", "--expire-keep-last", "1")
+    assert r["expired_runs"] == ["e_old"]
+    assert not os.path.isdir(f"{out}/violations/run_id=e_old")
+    assert os.path.isdir(f"{out}/violations/run_id=e_new")
+    r2 = _run_cli(*common, "--run-id", "e_new")
+    assert r2["rules_run"] == 0  # kept run untouched by the expiry
