@@ -1381,3 +1381,38 @@ def test_crossmodal_consistency_flags_unrelated_pairs(spark):
     got = {r["pair_id"]: (r["cosine"], r["status"])
            for r in crossmodal_consistency(df).collect()}
     assert got == {0: (1.0, "ok"), 1: (-1.0, "low"), 2: (0.0, "ok")}
+
+
+def test_value_quantiles_matches_rank_definition_randomized(spark):
+    """For any multiset, pN must equal sorted[ceil(N*n/100)-1] (the
+    smallest value whose cumulative count covers the target rank).
+    Ten seeded random columns of varying length/dup-rate, padded with
+    NULLs to one wide frame (NULLs are excluded by the operator)."""
+    import math
+    import random
+
+    from assetdatavalidationtool_spark.operators.stats import value_quantiles
+
+    rng = random.Random(421)
+    cols = {}
+    for i in range(10):
+        n = rng.randint(1, 80)
+        dom = rng.choice([3, 10, 1000, 10**9])
+        cols[f"c{i}"] = [rng.randint(-dom, dom) for _ in range(n)]
+    width = max(len(v) for v in cols.values())
+    rows = [
+        tuple(vals[j] if j < len(vals) else None for vals in cols.values())
+        for j in range(width)
+    ]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} long" for c in cols)
+    )
+    got = {r["col_name"]: r for r in value_quantiles(df, list(cols)).collect()}
+    for c, vals in cols.items():
+        s = sorted(vals)
+        n = len(s)
+        for q in (50, 90, 99):
+            exp = s[math.ceil(q * n / 100) - 1]
+            assert got[c][f"p{q}"] == exp, (c, q, n)
+        assert got[c]["n_values"] == n
+        assert got[c]["n_distinct"] == len(set(vals))
