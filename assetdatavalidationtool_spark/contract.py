@@ -3094,13 +3094,16 @@ _CROSSMODAL_SQL = """
       FROM embeddings WHERE vec_id % 2 = 1
     ), s AS (
       SELECT a.pair_id,
-             list_dot_product(va, vb) /
-             (sqrt(list_dot_product(va, va)) *
-              sqrt(list_dot_product(vb, vb))) AS c
+             sqrt(list_dot_product(va, va)) *
+               sqrt(list_dot_product(vb, vb)) AS dd,
+             list_dot_product(va, vb) AS num
       FROM a JOIN b USING (pair_id)
     )
-    SELECT pair_id, round(c, 4) AS cosine,
-           CASE WHEN c < 0.0 THEN 'low' ELSE 'ok' END AS status
+    SELECT pair_id,
+           CASE WHEN dd IS NULL OR dd = 0 THEN NULL
+                ELSE round(num / dd, 4) END AS cosine,
+           CASE WHEN dd IS NULL OR dd = 0 THEN 'invalid'
+                WHEN num / dd < 0.0 THEN 'low' ELSE 'ok' END AS status
     FROM s
 """
 

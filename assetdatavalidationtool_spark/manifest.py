@@ -421,9 +421,19 @@ def expire_runs(
     if keep_last is not None:
         keep |= set(ordered[:keep_last])
     expired = [rid for rid in ordered if rid not in keep]
+    # ghosts: recorded in the manifest but zero LIVE rows — fully
+    # tombstoned runs whose data deletion crashed mid-way last time.
+    # Swept on EVERY call (including when nothing new expires) or the
+    # crash leftovers would leak forever.
+    all_recorded = {
+        r["run_id"] for r in m.select("run_id").distinct().collect()
+    }
+    ghosts = all_recorded - set(ordered) - keep
     if not expired:
         live.unpersist()
-        return {"kept": ordered, "expired": [], "tombstones": 0}
+        swept = _sweep_ghost_run_dirs(root, ghosts)
+        return {"kept": ordered, "expired": [], "swept": swept,
+                "tombstones": 0}
 
     max_seq = m.agg(F.max("seq")).collect()[0][0]
     latest_done = (
@@ -442,8 +452,36 @@ def expire_runs(
     for rid in expired:
         for kind in ("violations", "verdicts", "metrics", "split"):
             shutil.rmtree(f"{root}/{kind}/run_id={rid}", ignore_errors=True)
+    swept = _sweep_ghost_run_dirs(root, ghosts)
     return {
         "kept": [rid for rid in ordered if rid in keep],
         "expired": expired,
+        "swept": swept,
         "tombstones": len(rows),
     }
+
+
+def _sweep_ghost_run_dirs(root: str, ghosts: set[str]) -> list[str]:
+    """Remove data dirs of runs that appear in the manifest but have NO
+    live rows (fully tombstoned) — the leftovers of a crash between
+    expire_runs' tombstone publish and its deletion pass. Without this
+    sweep such a run never reappears in the expired list (it has no
+    'done' rows) and its partitions would leak forever. Runs with data
+    dirs but no manifest rows at all are NOT touched — that is a
+    mid-flight run that has not committed its first batch yet."""
+    import os
+    import shutil
+
+    swept: set[str] = set()
+    for kind in ("violations", "verdicts", "metrics", "split"):
+        kdir = f"{root}/{kind}"
+        if not os.path.isdir(kdir):
+            continue
+        for entry in os.listdir(kdir):
+            if not entry.startswith("run_id="):
+                continue
+            rid = entry[len("run_id="):]
+            if rid in ghosts:
+                shutil.rmtree(f"{kdir}/{entry}", ignore_errors=True)
+                swept.add(rid)
+    return sorted(swept)

@@ -38,9 +38,15 @@ def _sweep_cc_roots() -> None:
         _shutil.rmtree(d, ignore_errors=True)
 
 
-def _norm_text(c: F.Column) -> F.Column:
-    """lowercase + collapse whitespace — the canonical text form."""
+def norm_text(c: F.Column) -> F.Column:
+    """lowercase + trim + collapse whitespace — THE canonical text form,
+    shared by fingerprinting and caption-boilerplate screening so their
+    groupings can never drift apart (the contract oracles mirror this
+    exact expression)."""
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+_norm_text = norm_text  # internal alias kept for existing callers
 
 
 def _tokenize(c: F.Column) -> F.Column:

@@ -274,6 +274,11 @@ def exact_duplicates(
     the group — a deterministic keep policy the pHash canonical query
     mirrors.
 
+    NULL payloads are excluded — md5(NULL) is NULL and groupBy treats
+    NULL digests as equal, so rows that merely LACK bytes (failed
+    downloads) would otherwise be reported as exact copies of each
+    other; missing payloads are the schema rule's business.
+
     Scale: md5 runs JVM-side in the scan stage; the shuffle carries
     (digest, id) pairs only — 48 bytes/row instead of the image payload
     — and partial aggregation collapses same-digest rows map-side. One
@@ -282,7 +287,8 @@ def exact_duplicates(
     duplicates silently — here every group is reported with its size.
     """
     return (
-        df.select(F.md5(F.col(bytes_col)).alias("digest"), F.col(id_col))
+        df.where(F.col(bytes_col).isNotNull())
+        .select(F.md5(F.col(bytes_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count("*").alias("n_copies"),

@@ -616,15 +616,27 @@ def crossmodal_consistency(
     embeddings and equality is a similarity band).
 
     The status test uses the UNROUNDED cosine; rounding is display-only
-    (4 dp) so results are oracle-portable. Scale: pure Column
-    arithmetic per row (zip_with/aggregate in double), no shuffle at
-    all if the pairing join upstream already co-located the two sides;
-    at 10^12 pairs this is a single map stage over the joined table.
+    (4 dp) so results are oracle-portable. Degenerate pairs — either
+    embedding NULL or all-zero (a dead encoder output, exactly what a
+    consistency screen exists to catch) — would make the cosine
+    NaN/NULL, and ``NaN < threshold`` is false in Spark, silently
+    passing them as 'ok'; they are flagged 'invalid' with a NULL cosine
+    instead. Scale: pure Column arithmetic per row (zip_with/aggregate
+    in double), no shuffle at all if the pairing join upstream already
+    co-located the two sides; at 10^12 pairs this is a single map stage
+    over the joined table.
     """
     a, b = F.col(vec_a), F.col(vec_b)
-    c = _dot(a, b) / (_norm(a) * _norm(b))
+    denom = _norm(a) * _norm(b)
+    c = _dot(a, b) / denom
+    bad = denom.isNull() | (denom == 0)
     return pairs.select(
         F.col(pair_id),
-        F.round(c, 4).alias("cosine"),
-        F.when(c < threshold, "low").otherwise("ok").alias("status"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(c, 4))
+        .alias("cosine"),
+        F.when(bad, "invalid")
+        .when(c < threshold, "low")
+        .otherwise("ok")
+        .alias("status"),
     )

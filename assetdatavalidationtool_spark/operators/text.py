@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import fingerprint_col, spread_small_scan
+from .dedup import fingerprint_col, norm_text, spread_small_scan
 from .sampling import _hash_bucket
 
 STOPWORDS = [
@@ -370,17 +370,21 @@ def boilerplate_captions(
     DISTINCT images is the standard screen (the caption-side analogue of
     the reference's duplicate-key report, ReportGenerator.cs:150-156).
 
-    Normalization is the same lower/trim/whitespace-collapse every text
-    operator uses, so a caption differing only in case/spacing still
-    groups. Scale: one hash aggregate keyed on the normalized caption;
-    count(DISTINCT id) plans as a two-phase aggregate (partial distinct
-    map-side), and only (caption, id) pairs shuffle — never the image
-    payload. Boilerplate by definition concentrates rows on few keys;
-    the distinct pre-aggregation is exactly the salting such skew needs.
+    Normalization is the SHARED ``norm_text`` (also used by
+    fingerprinting), so a caption differing only in case/spacing still
+    groups and the two screens can never drift apart. NULL captions are
+    excluded — grouping them would report rows that merely LACK a
+    caption as one giant boilerplate template (missing captions are the
+    schema/referential rules' business). Scale: one hash aggregate
+    keyed on the normalized caption; count(DISTINCT id) plans as a
+    two-phase aggregate (partial distinct map-side), and only
+    (caption, id) pairs shuffle — never the image payload. Boilerplate
+    by definition concentrates rows on few keys; the distinct
+    pre-aggregation is exactly the salting such skew needs.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(caption_col))), r"\s+", " ")
     return (
-        df.select(norm.alias("caption"), F.col(id_col))
+        df.where(F.col(caption_col).isNotNull())
+        .select(norm_text(F.col(caption_col)).alias("caption"), F.col(id_col))
         .groupBy("caption")
         .agg(
             F.countDistinct(id_col).alias("n_images"),

@@ -164,6 +164,15 @@ def stream_sessionize(
     after the input drains). Scale: state is 24 bytes per ACTIVE user,
     keyed shuffle on user only, Arrow-batched per group — no per-row
     Python, no unbounded state (the timeout is the eviction).
+
+    Late data: each call interval-merges the batch's events (any
+    intra-batch disorder) WITH the open session, so a cross-batch late
+    event that lands inside or within ``gap`` of the open session
+    extends it — including extending ``session_start`` backward.
+    Exactness vs the batch oracle holds for everything except an event
+    arriving AFTER the session it belongs to was already emitted
+    (closed by a later event or by timeout) — the irreducible
+    streaming case the watermark exists to bound.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -173,11 +182,12 @@ def stream_sessionize(
 
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1_000
+    user_type = events.schema[user_col].dataType.simpleString()
 
     def _close(user, start_us, last_us, n):
         return pd.DataFrame(
             {
-                "user_id": pd.array([user], dtype="int64"),
+                "user_id": [user],
                 "session_start": pd.to_datetime([start_us], unit="us"),
                 "session_end": pd.to_datetime([last_us], unit="us"),
                 "n_events": pd.array([n], dtype="int64"),
@@ -196,16 +206,32 @@ def stream_sessionize(
             s = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
             ts_us.extend((s.astype("int64") // 1000).tolist())
         ts_us.sort()
-        cur = state.get if state.exists else None
+        # chain this batch's (sorted) events into candidate intervals,
+        # then interval-merge with the open session: a late event that
+        # belongs to the open session extends it (backward too) instead
+        # of being mis-absorbed without moving session_start.
+        ivals: list[tuple[int, int, int]] = []
         for t in ts_us:
-            if cur is None:
-                cur = (t, t, 1)
-            elif t - cur[1] > gap_us:
-                yield _close(user, *cur)
-                cur = (t, t, 1)
+            if ivals and t - ivals[-1][1] <= gap_us:
+                s0, l0, n0 = ivals[-1]
+                ivals[-1] = (s0, max(l0, t), n0 + 1)
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
-        if cur is not None:
+                ivals.append((t, t, 1))
+        if state.exists:
+            ivals.append(state.get)
+            ivals.sort(key=lambda iv: iv[0])
+            merged: list[tuple[int, int, int]] = []
+            for iv in ivals:
+                if merged and iv[0] - merged[-1][1] <= gap_us:
+                    s0, l0, n0 = merged[-1]
+                    merged[-1] = (s0, max(l0, iv[1]), n0 + iv[2])
+                else:
+                    merged.append(iv)
+            ivals = merged
+        for iv in ivals[:-1]:  # everything but the newest is closed
+            yield _close(user, *iv)
+        if ivals:
+            cur = ivals[-1]
             state.update(cur)
             # event-time timeout must sit above the current watermark
             state.setTimeoutTimestamp(
@@ -217,7 +243,7 @@ def stream_sessionize(
     return df.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=(
-            "user_id long, session_start timestamp, "
+            f"user_id {user_type}, session_start timestamp, "
             "session_end timestamp, n_events long"
         ),
         stateStructType="start_us long, last_us long, n long",
@@ -268,9 +294,12 @@ def stream_dedup_exact(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        from pyspark.errors import AnalysisException
+
         w = Window.partitionBy("digest").orderBy(id_col)
         batch = (
-            batch_df.withColumn("digest", F.md5(F.col(bytes_col)))
+            batch_df.where(F.col(bytes_col).isNotNull())
+            .withColumn("digest", F.md5(F.col(bytes_col)))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
@@ -279,8 +308,15 @@ def stream_dedup_exact(
             seen = spark.read.parquet(ledger_dir).where(
                 F.col("batch_id") < batch_id
             ).select("digest")
-        except Exception:
-            seen = None  # first batch: no ledger yet
+        except AnalysisException as e:
+            # ONLY a missing ledger means "first batch". Any other read
+            # failure (corrupt file, transient IO) must abort the batch:
+            # swallowing it would skip the anti-join and let previously
+            # seen digests back in, permanently breaking the ledger's
+            # one-row-per-digest invariant.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            seen = None
         kept = batch if seen is None else batch.join(
             seen, "digest", "left_anti"
         )

@@ -396,3 +396,42 @@ def test_expire_runs_keep_run_ids_override(spark, data, tmp_path_factory):
     res = expire_runs(spark, out, keep_last=1, keep_run_ids=["a"])
     assert res["expired"] == [] and set(res["kept"]) == {"a", "b"}
     assert os.path.isdir(f"{out}/violations/run_id=a")
+
+
+def test_expire_runs_sweeps_crash_orphans(spark, data, tmp_path_factory):
+    """Crash recovery: a run tombstoned but not deleted (killed between
+    expire_runs' two steps) has zero live manifest rows, so it never
+    re-enters the expired list — the ghost sweep must reclaim its data
+    dirs on the NEXT call, even when nothing new expires."""
+    import os
+    import time as _time
+
+    from assetdatavalidationtool_spark.manifest import (
+        _publish_manifest_batch,
+        expire_runs,
+    )
+
+    images, _ = data
+    out = str(tmp_path_factory.mktemp("expire_crash"))
+    for rid in ("g1", "live1"):
+        ValidationRun(
+            spark, out, make_rules()[:1], num_buckets=8, run_id=rid
+        ).run(images)
+        _time.sleep(1.1)
+
+    # simulate the crash: tombstone g1's done rows by hand, skip deletion
+    m = spark.read.parquet(f"{out}/manifest")
+    max_seq = m.agg(F.max("seq")).collect()[0][0]
+    done = m.where("run_id = 'g1' and status = 'done'").collect()
+    _publish_manifest_batch(
+        spark, f"{out}/manifest",
+        [("g1", r["rule"], int(r["bucket"]), "expired", 0, 0, 0.0,
+          int(max_seq) + 1) for r in done],
+    )
+    assert os.path.isdir(f"{out}/violations/run_id=g1")  # orphaned data
+
+    res = expire_runs(spark, out, keep_last=5)  # nothing newly expires
+    assert res["expired"] == []
+    assert res["swept"] == ["g1"]
+    assert not os.path.isdir(f"{out}/violations/run_id=g1")
+    assert os.path.isdir(f"{out}/violations/run_id=live1")

@@ -1416,3 +1416,54 @@ def test_value_quantiles_matches_rank_definition_randomized(spark):
             assert got[c][f"p{q}"] == exp, (c, q, n)
         assert got[c]["n_values"] == n
         assert got[c]["n_distinct"] == len(set(vals))
+
+
+def test_crossmodal_consistency_degenerate_pairs_flagged_invalid(spark):
+    """Zero or NULL embeddings must surface as status 'invalid' with a
+    NULL cosine — NaN < threshold is false, so without the guard a dead
+    encoder output would silently pass the screen as 'ok'."""
+    from assetdatavalidationtool_spark.operators.similarity import (
+        crossmodal_consistency,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], [0.0, 0.0]),   # zero caption embedding
+        (1, [0.0, 0.0], [0.0, 0.0]),   # both dead
+        (2, None, [1.0, 0.0]),         # missing image embedding
+        (3, [1.0, 0.0], [1.0, 0.0]),   # healthy control
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, vec_a array<float>, vec_b array<float>"
+    )
+    got = {r["pair_id"]: (r["cosine"], r["status"])
+           for r in crossmodal_consistency(df).collect()}
+    assert got[0] == (None, "invalid")
+    assert got[1] == (None, "invalid")
+    assert got[2] == (None, "invalid")
+    assert got[3] == (1.0, "ok")
+
+
+def test_exact_duplicates_ignores_null_payloads(spark):
+    """Rows lacking bytes must NOT group into a fake duplicate set
+    (md5(NULL)=NULL and groupBy equates NULL digests)."""
+    from assetdatavalidationtool_spark.operators.images import exact_duplicates
+
+    rows = [
+        ("img_1", None), ("img_2", None), ("img_3", None),
+        ("img_4", b"x"), ("img_5", b"x"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["canonical"]: r["n_copies"] for r in exact_duplicates(df).collect()}
+    assert got == {"img_4": 2}
+
+
+def test_boilerplate_captions_ignores_null_captions(spark):
+    """NULL captions are missing data, not a shared template."""
+    from assetdatavalidationtool_spark.operators.text import boilerplate_captions
+
+    rows = [(f"img_{i}", None) for i in range(6)] + [
+        (f"img_{i + 10}", "same text") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = boilerplate_captions(df, min_images=5).collect()
+    assert len(out) == 1 and out[0]["caption"] == "same text"

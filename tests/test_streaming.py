@@ -210,3 +210,58 @@ def test_stream_dedup_ledger_across_batches(spark, tmp_path_factory):
     kept2 = spark.read.parquet(f"{out2}/kept")
     assert kept2.count() == 4
     assert kept2.select("digest").distinct().count() == 4
+
+
+def test_stream_sessionize_late_event_extends_open_session(spark, tmp_path_factory):
+    """A late cross-batch event that lands before the open session's
+    start but within the gap must extend session_start backward —
+    matching the batch oracle (regression: the old fold absorbed it
+    without moving the start). Also exercises a STRING user column."""
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+    from assetdatavalidationtool_spark.streaming.validate import stream_sessionize
+
+    base = tmp_path_factory.mktemp("sess_late")
+    src, out, ck = str(base / "in"), str(base / "out"), str(base / "ck")
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    schema = "event_id long, ts timestamp, user_id string"
+    # batch 1: u1 at 8:40/8:50; u2 at 9:00 advances the watermark to 8:00
+    f1 = [(1, m(40), "u1"), (2, m(50), "u1"), (3, m(60), "u2")]
+    # batch 2: LATE u1 event at 8:25 — above the watermark, before the
+    # open session's start, within the 30-min gap. Sentinel closes all.
+    f2 = [(4, m(25), "u1"), (9, t0 + dt.timedelta(days=10), "zz")]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != "zz")
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    all_events = spark.createDataFrame(f1 + f2, schema).where(
+        F.col("user_id") != "zz"
+    )
+    exp = sessionize(all_events, "user_id", "ts", "event_id", gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    rows = {(r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()}
+    assert ("u1", m(25), 3) in rows, rows  # start extended backward
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
