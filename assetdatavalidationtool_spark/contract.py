@@ -866,7 +866,8 @@ _SAMPLE_HASH = "('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT"
     SELECT doc_id, lang, source, n_chars FROM documents
     WHERE (lang = 'en' AND {_SAMPLE_HASH} % 4 = 0)
        OR (lang = 'zh' AND {_SAMPLE_HASH} % 3 = 0)
-       OR (lang NOT IN ('en', 'zh') AND {_SAMPLE_HASH} % 2 = 0)
+       OR ((lang IS NULL OR lang NOT IN ('en', 'zh'))
+           AND {_SAMPLE_HASH} % 2 = 0)
     """,
 )
 def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,9 +1039,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that decides whether the scale path is trustworthy before pointing it
 # at 10^12 rows. Both sides are deterministic, so recall itself is
 # oracle-exact.
-@register(
-    "similarity_lsh_recall",
-    f"""
+def _recall_sql(ann_sql: str) -> str:
+    """Recall-vs-brute-force wrapper, defined ONCE for both ANN
+    families (LSH and IVF): the ground-truth `bf` CTE and the
+    base/hits/recall arithmetic must stay identical or the two recall
+    oracles measure different contracts."""
+    return f"""
     WITH bf AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -1055,7 +1059,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM embeddings WHERE vec_id < 20) q, embeddings e
         WHERE e.vec_id <> q.query_id
       ) WHERE rank <= 5
-    ), ann AS ({_LSH_ANN_SQL}),
+    ), ann AS ({ann_sql}),
     base AS (SELECT query_id, count(*) AS n_truth FROM bf GROUP BY query_id),
     hits AS (
       SELECT bf.query_id, count(*) AS n_hit
@@ -1066,8 +1070,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.query_id, b.n_truth, coalesce(h.n_hit, 0) AS n_hit,
            round(coalesce(h.n_hit, 0) * 1.0 / b.n_truth, 4) AS recall
     FROM base b LEFT JOIN hits h USING (query_id)
-    """,
-)
+    """
+
+
+@register("similarity_lsh_recall", _recall_sql(_LSH_ANN_SQL))
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_recall, lsh_ann_topk
 
@@ -1125,9 +1131,15 @@ _PHONE_RE = PII_PATTERNS["phone"]
     f"""
     WITH planted AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 25 = 0
-               THEN text || ' contact: user' || doc_id ||
-                    '@example.com or +1 555-123-4567'
+             CASE doc_id % 100
+               WHEN 0  THEN text || ' contact: user' || doc_id ||
+                            '@example.com or (555) 123-4567'
+               WHEN 25 THEN text || ' contact: user' || doc_id ||
+                            '@example.com or 555-123-4567'
+               WHEN 50 THEN text || ' contact: user' || doc_id ||
+                            '@example.com or 555.123.4567'
+               WHEN 75 THEN text || ' contact: user' || doc_id ||
+                            '@example.com or +1 555-123-4567'
                ELSE text END AS text
       FROM documents
     )
@@ -1146,19 +1158,23 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # plant deterministic PII on every 25th doc so the scrub is
-    # non-vacuous (the synthetic corpus contains none)
-    planted = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 25 == 0,
+    # non-vacuous (the synthetic corpus contains none); cycle through
+    # the four common phone formats so the COUNTRY-CODE-OPTIONAL fix
+    # is oracle-checked, not just the +1 form
+    formats = {0: "(555) 123-4567", 25: "555-123-4567",
+               50: "555.123.4567", 75: "+1 555-123-4567"}
+    planted_text = F.col("text")
+    for rem, phone in formats.items():
+        planted_text = F.when(
+            F.col("doc_id") % 100 == rem,
             F.concat(
                 F.col("text"),
                 F.lit(" contact: user"),
                 F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1 555-123-4567"),
+                F.lit(f"@example.com or {phone}"),
             ),
-        ).otherwise(F.col("text")),
-    )
+        ).otherwise(planted_text)
+    planted = docs.withColumn("text", planted_text)
     return redact_pii(planted, "doc_id", "text")
 
 
@@ -2371,17 +2387,25 @@ _IMAGE_META_CTE = """
     )
 """
 
+# The gate CASE, defined ONCE and interpolated into every oracle that
+# gates (image_gate, curation pipeline/summary, shard plan, curated
+# dedup fixture, compression stats) — five in-line copies drifted apart
+# would silently break oracle parity when a threshold changes. Mirrors
+# operators/images.py::gate_reason_expr with its defaults.
+_GATE_CASE = """CASE
+        WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
+        WHEN least(w, h) < 64 THEN 'too_small'
+        WHEN greatest(w, h) > 8192 THEN 'too_large'
+        WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
+        WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
+          THEN 'bad_format'
+        WHEN n_bytes < 128 THEN 'tiny_payload'
+      END"""
+_GATE_PASSES = f"({_GATE_CASE}) IS NULL"
+
 _GATE_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
-      SELECT image_id,
-        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
-             WHEN least(w, h) < 64 THEN 'too_small'
-             WHEN greatest(w, h) > 8192 THEN 'too_large'
-             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
-             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
-               THEN 'bad_format'
-             WHEN n_bytes < 128 THEN 'tiny_payload'
-        END AS reject_reason
+      SELECT image_id, {_GATE_CASE} AS reject_reason
       FROM meta
     )
     SELECT image_id, reject_reason IS NULL AS passed, reject_reason
@@ -2456,14 +2480,7 @@ def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATION_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
       SELECT *,
-        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
-             WHEN least(w, h) < 64 THEN 'too_small'
-             WHEN greatest(w, h) > 8192 THEN 'too_large'
-             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
-             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
-               THEN 'bad_format'
-             WHEN n_bytes < 128 THEN 'tiny_payload'
-        END AS reject_reason,
+        {_GATE_CASE} AS reject_reason,
         abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
         abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
         abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
@@ -2577,14 +2594,7 @@ def q_image_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
       SELECT *,
-        CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'null_dims'
-             WHEN least(w, h) < 64 THEN 'too_small'
-             WHEN greatest(w, h) > 8192 THEN 'too_large'
-             WHEN w > h * 4 OR h > w * 4 THEN 'extreme_aspect'
-             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
-               THEN 'bad_format'
-             WHEN n_bytes < 128 THEN 'tiny_payload'
-        END AS reject_reason,
+        {_GATE_CASE} AS reject_reason,
         abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
         abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
         abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
@@ -2639,7 +2649,7 @@ def q_image_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # some survive gates their gif/PNG source fails (the canonical is then
 # the variant — exercised, not an edge case).
 # ---------------------------------------------------------------------------
-_CURATED_UTBL_CTES = """m0 AS (
+_CURATED_UTBL_CTES = f"""m0 AS (
   SELECT k,
          CASE WHEN k % 23 = 0 THEN NULL
               WHEN k % 41 = 0 THEN 10000
@@ -2665,14 +2675,7 @@ _CURATED_UTBL_CTES = """m0 AS (
   FROM m0 WHERE k % 131 = 0
 ), gated AS (
   SELECT * FROM utbl
-  WHERE CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'x'
-             WHEN least(w, h) < 64 THEN 'x'
-             WHEN greatest(w, h) > 8192 THEN 'x'
-             WHEN w > h * 4 OR h > w * 4 THEN 'x'
-             WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
-               THEN 'x'
-             WHEN n_bytes < 128 THEN 'x'
-        END IS NULL
+  WHERE {_GATE_PASSES}
 ), tbl AS (SELECT image_id, phash FROM gated)"""
 
 _PIPELINE_SQL = (
@@ -2818,14 +2821,7 @@ def q_image_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPRESSION_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
       SELECT * FROM meta
-      WHERE CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'x'
-                 WHEN least(w, h) < 64 THEN 'x'
-                 WHEN greatest(w, h) > 8192 THEN 'x'
-                 WHEN w > h * 4 OR h > w * 4 THEN 'x'
-                 WHEN fmt IS NULL OR lower(fmt) NOT IN ('png','jpeg','webp')
-                   THEN 'x'
-                 WHEN n_bytes < 128 THEN 'x'
-            END IS NULL
+      WHERE {_GATE_PASSES}
     )
     SELECT lower(fmt) AS fmt, count(*) AS n_images,
            CAST(sum(w * h) AS BIGINT) AS total_pixels,
@@ -2854,36 +2850,7 @@ def q_image_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index; this measures the multi-probe IVF index with the same truth
 # set and the same recall contract)
 # ---------------------------------------------------------------------------
-@register(
-    "similarity_ivf_recall",
-    f"""
-    WITH bf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) /
-                          (sqrt(list_dot_product(q.qv, q.qv)) *
-                           sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                 e.embedding::DOUBLE[]))) DESC,
-                          e.vec_id ASC) AS rank
-        FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-              FROM embeddings WHERE vec_id < 20) q, embeddings e
-        WHERE e.vec_id <> q.query_id
-      ) WHERE rank <= 5
-    ), ann AS ({_IVF_TOPK_SQL}),
-    base AS (SELECT query_id, count(*) AS n_truth FROM bf GROUP BY query_id),
-    hits AS (
-      SELECT bf.query_id, count(*) AS n_hit
-      FROM bf JOIN ann ON bf.query_id = ann.query_id
-                      AND bf.neighbor_id = ann.neighbor_id
-      GROUP BY bf.query_id
-    )
-    SELECT b.query_id, b.n_truth, coalesce(h.n_hit, 0) AS n_hit,
-           round(coalesce(h.n_hit, 0) * 1.0 / b.n_truth, 4) AS recall
-    FROM base b LEFT JOIN hits h USING (query_id)
-    """,
-)
+@register("similarity_ivf_recall", _recall_sql(_IVF_TOPK_SQL))
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_recall, ivf_topk
 

@@ -168,7 +168,14 @@ def generate_images(
                 i = int(i)
                 near = i >= n + dup_ids  # trailing range: near-dup re-emits
                 logical = (i - n - dup_ids) if near else (i % n)
-                r = make_row(logical, corrupt_pixels=logical < bad_pixel_ids)
+                # near-dup re-emits stay pixel-clean even when their
+                # logical index overlaps the bad-pixel range — the
+                # docstring's "pixel/schema-clean" guarantee must hold
+                # for any fault combination
+                r = make_row(
+                    logical,
+                    corrupt_pixels=(not near) and logical < bad_pixel_ids,
+                )
                 if near:
                     r["image_id"] = f"near_{logical:012d}"
                     u = (r["phash"] ^ 0b1011) & ((1 << 64) - 1)

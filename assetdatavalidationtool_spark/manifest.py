@@ -285,10 +285,19 @@ class ValidationRun:
             key_col=self.key_col,
             bucket_expr=self.bucket_expr,
         )
+        from pyspark.errors import AnalysisException
+
         try:
             vio = self.violations()
-        except Exception:
-            # a fully-clean run may have written no violation part files
+        except AnalysisException as e:
+            # ONLY a missing path means "fully-clean run wrote no
+            # violation files" — any other read failure (permissions,
+            # corrupt files, mistyped --output) must abort, not tag
+            # every known-bad row status=clean (same narrowing as
+            # streaming stream_dedup_exact's ledger read).
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
             vio = ctx.empty_violations()
         parts = split_violations(ctx, vio)
         path = f"{self.out}/split/run_id={self.run_id}"

@@ -105,7 +105,12 @@ def gate_reason_expr(
         reason = reason.when(F.col("n_bytes") < min_bytes, "tiny_payload")
     if milli_bpp_bounds is not None:
         low, high = milli_bpp_bounds
-        nb, px = F.col("n_bytes"), (w * h).cast("long")
+        # widen BEFORE multiplying: int32 n_bytes*1000 wraps negative
+        # past ~2.1 MB under Spark's non-ANSI default (a bloated payload
+        # would classify as starved), and (w*h) wraps for gigapixel dims
+        # before a trailing cast can save it
+        nb = F.col("n_bytes").cast("long")
+        px = w.cast("long") * h
         reason = reason.when(nb * 1000 < low * px, "starved_payload")
         reason = reason.when(nb * 1000 > high * px, "bloated_payload")
     return reason.otherwise(F.lit(None).cast("string"))
@@ -241,8 +246,10 @@ def compression_stats(
     aggregate on fmt (a handful of groups; partial aggregation absorbs
     the volume map-side), bytes column never scanned.
     """
-    w, h, nb = F.col("w"), F.col("h"), F.col(bytes_col)
-    px = (w * h).cast("long")
+    # widen BEFORE multiplying (see gate_reason_expr): int32 inputs
+    # would wrap at ~2.1 MB payloads / gigapixel dims
+    w, h, nb = F.col("w"), F.col("h"), F.col(bytes_col).cast("long")
+    px = w.cast("long") * h
     under = (nb * 1000 < F.lit(low_milli_bpp) * px).cast("int")
     over = (nb * 1000 > F.lit(high_milli_bpp) * px).cast("int")
     return (

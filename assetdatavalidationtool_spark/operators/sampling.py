@@ -56,8 +56,9 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum hash sampling: keep ~1/``rates[stratum]`` of each
     stratum's rows (e.g. downsample dominant languages harder). A
-    stratum absent from ``rates`` keeps 1/``default_one_in`` rows, or
-    ALL rows when ``default_one_in`` is None.
+    stratum absent from ``rates`` — including a NULL stratum — keeps
+    1/``default_one_in`` rows, or ALL rows when ``default_one_in`` is
+    None.
 
     One CASE expression over the stratum column — membership is still a
     narrow per-row predicate; no shuffle, no per-stratum pass.
@@ -67,7 +68,12 @@ def stratified_hash_sample(
     for stratum, one_in in rates.items():
         cond = (F.col(stratum_col) == stratum) & (bucket(one_in) == 0)
         keep = cond if keep is None else keep | cond
-    others = ~F.col(stratum_col).isin(*rates.keys())
+    # NULL stratum must take the default branch, not vanish: a bare
+    # NOT IN evaluates to NULL for NULL and where() drops the row —
+    # silent corpus loss no rate configuration could express
+    others = F.col(stratum_col).isNull()
+    if rates:
+        others = others | ~F.col(stratum_col).isin(*rates.keys())
     if default_one_in is None:
         default_keep = others
     else:

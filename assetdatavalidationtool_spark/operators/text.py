@@ -137,7 +137,12 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # no lookaround, no \b ambiguity across engines.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    # country code OPTIONAL: bare NANP forms (555-123-4567,
+    # (555) 123-4567, 555 123 4567, 555.123.4567) are the common case
+    # and must redact too, not only +1-prefixed numbers. Separators
+    # between the trailing groups stay mandatory (false-positive guard:
+    # a 10-digit blob is an ID as often as a phone).
+    "phone": r"(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
 }
 
 

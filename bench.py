@@ -585,24 +585,36 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_NO_HISTORY") != "1":
         _append_history(record)
     # VERDICT r04 #2: the final stdout line is a COMPACT record that
-    # fits the driver's tail capture — contract fields + the image-pass
-    # essentials + a pointer to the full dict. Per-query load/steal/
-    # attempt diagnostics are file-only.
-    compact = {
-        "metric": record["metric"],
-        "value": record["value"],
-        "unit": record["unit"],
-        "queries": queries,
-        "sf": record["sf"],
-        "images_validated_per_sec": record["images_validated_per_sec"],
-        "n_images": record["n_images"],
-        "image_pass_walls": record["image_pass_walls"],
-        "image_pass_probe_before_sec": record["image_pass_probe_before_sec"],
-        "image_pass_probe_after_sec": record["image_pass_probe_after_sec"],
-        "suite_probe_sec": record["suite_probe_sec"],
-        "full_record": "BENCH/bench_last.json",
-    }
-    print(json.dumps(compact))
+    # fits the driver's tail capture (last 2000 chars of stdout — the
+    # r1/r2 archives parse, r3/r4 don't, and the difference is exactly
+    # whether the final JSON line fit). With 68 queries the line is the
+    # queries dict, so: compact separators, 2-decimal seconds, and a
+    # 1-decimal fallback if future queries push it past the budget.
+    # Per-query load/steal/attempt diagnostics are file-only.
+    def _compact_line(ndigits: int, extras: bool) -> str:
+        d = {
+            "metric": record["metric"],
+            "value": record["value"],
+            "unit": record["unit"],
+            "queries": {k: round(v, ndigits) for k, v in queries.items()},
+            "sf": record["sf"],
+        }
+        if extras:
+            d.update({
+                "images_validated_per_sec": record["images_validated_per_sec"],
+                "n_images": record["n_images"],
+                "image_pass_probe_before_sec": record["image_pass_probe_before_sec"],
+                "image_pass_probe_after_sec": record["image_pass_probe_after_sec"],
+                "suite_probe_sec": record["suite_probe_sec"],
+            })
+        d["full_record"] = "BENCH/bench_last.json"
+        return json.dumps(d, separators=(",", ":"))
+
+    for attempt in ((2, True), (1, True), (1, False)):
+        line = _compact_line(*attempt)
+        if len(line) <= 1900:
+            break
+    print(line)
 
 
 def _append_history(record: dict) -> None:

@@ -333,6 +333,32 @@ def test_split_from_persisted_violations(spark, data, tmp_path_factory):
     assert q_keys == (vio_keys & img_keys)
 
 
+def test_split_aborts_on_unreadable_violations(spark, data, tmp_path_factory):
+    """Only a MISSING violations path means 'clean run' — a corrupt
+    violations file must abort split(), never silently tag every
+    known-bad row status=clean."""
+    import pytest
+
+    images, captions = data
+    out = str(tmp_path_factory.mktemp("split_bad"))
+    run = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="rB")
+    run.run(images, captions)
+    # corrupt every violations part file for this run
+    import glob as _glob
+    parts = _glob.glob(f"{out}/violations/run_id=rB/**/*.parquet", recursive=True)
+    assert parts
+    for p in parts:
+        with open(p, "wb") as f:
+            f.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        run.split(images)
+    # a genuinely clean run (no violations dir at all) still splits
+    run2 = ValidationRun(spark, out, [], num_buckets=8, run_id="rC")
+    path = run2.split(images)
+    quar = spark.read.parquet(path).where("status = 'quarantine'")
+    assert quar.count() == 0
+
+
 def test_expire_runs_keep_last(spark, data, tmp_path_factory):
     """expire_runs removes old runs' data, tombstones their manifest
     entries (so a resume recomputes instead of trusting deleted

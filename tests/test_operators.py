@@ -670,9 +670,10 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
 def test_stratified_hash_sample_rates(spark):
     from assetdatavalidationtool_spark.operators import stratified_hash_sample
 
-    df = spark.range(0, 3000).selectExpr(
+    df = spark.range(0, 4000).selectExpr(
         "id AS doc_id",
-        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'zh' ELSE 'de' END AS lang",
+        "CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'zh' "
+        "WHEN id % 4 = 2 THEN 'de' ELSE NULL END AS lang",
     )
     out = stratified_hash_sample(df, "doc_id", "lang", {"en": 5}, default_one_in=None)
     by_lang = {
@@ -680,7 +681,14 @@ def test_stratified_hash_sample_rates(spark):
         for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert by_lang["zh"] == 1000 and by_lang["de"] == 1000  # kept whole
+    # NULL stratum takes the default branch (kept whole here), never
+    # silently dropped by a NULL-valued NOT IN predicate
+    assert by_lang[None] == 1000
     assert 120 < by_lang["en"] < 280  # ~1/5 of 1000
+    # with a default rate, NULL rows are sampled at the default rate
+    out2 = stratified_hash_sample(df, "doc_id", "lang", {"en": 5}, default_one_in=2)
+    n_null = out2.where(F.col("lang").isNull()).count()
+    assert 380 < n_null < 620  # ~1/2 of 1000
 
     # membership is a pure predicate: the plan is a single filter over
     # the scan — no shuffle, no aggregation
@@ -763,6 +771,11 @@ def test_redact_pii_counts_and_replacement(spark):
             (1, "write to alice.smith+x@example.co.uk or call +1 555-123-4567 now"),
             (2, "no pii here at all"),
             (3, "two mails: a@b.io and c.d@e-f.org"),
+            # bare NANP formats — no country code (the common case; a
+            # mandatory-prefix regex shipped these verbatim)
+            (4, "call 555-123-4567 today"),
+            (5, "call (555) 123-4567 today"),
+            (6, "call 555 123 4567 or 555.123.4567"),
         ],
         "doc_id long, text string",
     )
@@ -772,6 +785,10 @@ def test_redact_pii_counts_and_replacement(spark):
     assert "@" not in got[1]["text_redacted"] and "555" not in got[1]["text_redacted"]
     assert got[2]["n_emails"] == 0 and got[2]["text_redacted"] == "no pii here at all"
     assert got[3]["n_emails"] == 2
+    for d in (4, 5, 6):
+        assert "555" not in got[d]["text_redacted"], got[d]["text_redacted"]
+    assert got[4]["n_phones"] == 1 and got[5]["n_phones"] == 1
+    assert got[6]["n_phones"] == 2
 
 
 def test_chunk_tokens_boundaries(spark):

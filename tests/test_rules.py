@@ -308,6 +308,20 @@ def test_neardup_rule_counts(spark):
     assert total == 8
 
 
+def test_neardup_reemits_stay_pixel_clean_with_overlapping_faults(spark):
+    """near_phash_ids and bad_pixel_ids ranges overlap at the low
+    indices — the near re-emits must still be pixel-clean (the
+    documented guarantee), so RowInvariantRule flags ONLY the base
+    rows' corrupted bytes, never the near twins."""
+    from assetdatavalidationtool_spark.rules import RowInvariantRule, RuleContext
+
+    images = generate_images(spark, 60, bad_pixel_ids=3, near_phash_ids=3)
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=4)
+    vio = RowInvariantRule().violations(ctx).collect()
+    keys = sorted(r["key"] for r in vio)
+    assert keys == [f"img_{i:012d}" for i in range(3)], keys
+
+
 def test_neardup_rule_ignores_exact_dup_reemits(spark):
     """dup_ids re-emits share the SAME image_id — uniqueness territory,
     not near-dup pairs (the strict id ordering excludes self-pairs)."""
