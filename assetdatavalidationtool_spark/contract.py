@@ -2372,20 +2372,53 @@ def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  with planted violations of every gate; integer arithmetic + one IEEE
 #  double division, identical on both engines)
 # ---------------------------------------------------------------------------
-_IMAGE_META_CTE = """
-    meta AS (
-      SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
-             CASE WHEN k % 23 = 0 THEN NULL
+# The synthetic image-meta expressions, defined ONCE (like _GATE_CASE
+# below) and interpolated into every oracle that synthesizes the meta
+# table — in-line copies would silently desynchronize the curated-
+# pipeline / caption-stats oracles from the gate/aspect ones when a
+# plant (e.g. the k%41 oversize) changes.
+_WH_EXPRS = """CASE WHEN k % 23 = 0 THEN NULL
                   WHEN k % 41 = 0 THEN 10000
                   ELSE (k*37) % 4096 + 32 END AS w,
-             (k*53) % 2048 + 48 AS h,
+             (k*53) % 2048 + 48 AS h"""
+_META_EXPRS = f"""{_WH_EXPRS},
              CASE k % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'webp' WHEN 3 THEN 'gif'
                         ELSE 'PNG' END AS fmt,
-             (k*11) % 100000 + 16 AS n_bytes
+             (k*11) % 100000 + 16 AS n_bytes"""
+
+_IMAGE_META_CTE = f"""
+    meta AS (
+      SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+             {_META_EXPRS}
       FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
     )
 """
+
+
+def _aspect_dists(w: str = "w", h: str = "h") -> str:
+    """d0..d4 distance-to-ladder-ratio projections (one per bucket of
+    operators/images.py::DEFAULT_BUCKETS), shared by every aspect
+    oracle; pair with _ASPECT_BUCKET_CASE in the next SELECT."""
+    return f"""abs(CAST({w} AS DOUBLE)/{h} - 9.0/16.0)  AS d0,
+             abs(CAST({w} AS DOUBLE)/{h} - 3.0/4.0)   AS d1,
+             abs(CAST({w} AS DOUBLE)/{h} - 1.0)       AS d2,
+             abs(CAST({w} AS DOUBLE)/{h} - 4.0/3.0)   AS d3,
+             abs(CAST({w} AS DOUBLE)/{h} - 16.0/9.0)  AS d4"""
+
+
+# nearest-bucket argmin over d0..d4; ties break toward the EARLIER
+# ladder entry, matching aspect_bucket_expr's when-chain order
+_ASPECT_BUCKET_CASE = """CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
+           WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
+           WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
+           WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
+           ELSE 'wide_16_9' END"""
+
+# ungated inputs need the null/degenerate-dims guard in front
+_ASPECT_BUCKET_OR_NULL = f"""CASE
+      WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
+      ELSE {_ASPECT_BUCKET_CASE} END"""
 
 # The gate CASE, defined ONCE and interpolated into every oracle that
 # gates (image_gate, curation pipeline/summary, shard plan, curated
@@ -2415,27 +2448,18 @@ _GATE_SQL = f"""
 _ASPECT_SQL = f"""
     WITH {_IMAGE_META_CTE}, r AS (
       SELECT image_id, w, h,
-             abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
-             abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
-             abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
-             abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
-             abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+             {_aspect_dists()}
       FROM meta
     )
-    SELECT image_id,
-      CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
-           WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
-           WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
-           WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
-           WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
-           ELSE 'wide_16_9' END AS bucket
+    SELECT image_id, {_ASPECT_BUCKET_OR_NULL} AS bucket
     FROM r
 """
 
 
-def _image_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark twin of _IMAGE_META_CTE — same rows, same types."""
-    k = F.col("o_orderkey").cast("long")
+def _meta_col_exprs(k: F.Column) -> tuple[F.Column, ...]:
+    """The Spark twins of _META_EXPRS (w, h, fmt, n_bytes) — one
+    definition shared by _image_meta_table and _curated_corpus_table so
+    the synth plants cannot drift between the two fixtures."""
     w = (
         F.when(k % 23 == 0, F.lit(None).cast("long"))
         .when(k % 41 == 0, F.lit(10000).cast("long"))
@@ -2448,12 +2472,20 @@ def _image_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 3, "gif")
         .otherwise("PNG")
     )
-    return _t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+    return (
         w.alias("w"),
         ((k * 53) % 2048 + 48).alias("h"),
         fmt.alias("fmt"),
         ((k * 11) % 100000 + 16).alias("n_bytes"),
+    )
+
+
+def _image_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _IMAGE_META_CTE — same rows, same types."""
+    k = F.col("o_orderkey").cast("long")
+    return _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        *_meta_col_exprs(k),
     )
 
 
@@ -2481,19 +2513,11 @@ _CURATION_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
       SELECT *,
         {_GATE_CASE} AS reject_reason,
-        abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
-        abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
-        abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
-        abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
-        abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+        {_aspect_dists()}
       FROM meta
     ), curated AS (
       SELECT lower(fmt) AS fmt,
-             CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
-                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
-                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
-                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
-                  ELSE 'wide_16_9' END AS bucket,
+             {_ASPECT_BUCKET_CASE} AS bucket,
              w, h
       FROM gated WHERE reject_reason IS NULL
     )
@@ -2595,19 +2619,11 @@ _SHARD_SQL = f"""
     WITH {_IMAGE_META_CTE}, gated AS (
       SELECT *,
         {_GATE_CASE} AS reject_reason,
-        abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
-        abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
-        abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
-        abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
-        abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+        {_aspect_dists()}
       FROM meta
     ), curated AS (
       SELECT image_id, n_bytes,
-             CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
-                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
-                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
-                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
-                  ELSE 'wide_16_9' END AS bucket,
+             {_ASPECT_BUCKET_CASE} AS bucket,
              (('0x' || substr(md5('shard:' || image_id), 1, 8))::BIGINT % 8)
                AS lane
       FROM gated WHERE reject_reason IS NULL
@@ -2651,14 +2667,7 @@ def q_image_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _CURATED_UTBL_CTES = f"""m0 AS (
   SELECT k,
-         CASE WHEN k % 23 = 0 THEN NULL
-              WHEN k % 41 = 0 THEN 10000
-              ELSE (k*37) % 4096 + 32 END AS w,
-         (k*53) % 2048 + 48 AS h,
-         CASE k % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    WHEN 2 THEN 'webp' WHEN 3 THEN 'gif'
-                    ELSE 'PNG' END AS fmt,
-         (k*11) % 100000 + 16 AS n_bytes,
+         {_META_EXPRS},
          ((k*40503+11)%65536)
            + (((k*9973+12345)%65536)*65536)
            + (((k*31+7)%65536)*4294967296) AS phash
@@ -2697,18 +2706,10 @@ _PIPELINE_SQL = (
     flagged AS (
       SELECT g.w, g.h, g.n_bytes,
              CASE WHEN d.image_id IS NULL THEN 1 ELSE 0 END AS keep,
-             abs(CAST(g.w AS DOUBLE)/g.h - 9.0/16.0)  AS d0,
-             abs(CAST(g.w AS DOUBLE)/g.h - 3.0/4.0)   AS d1,
-             abs(CAST(g.w AS DOUBLE)/g.h - 1.0)       AS d2,
-             abs(CAST(g.w AS DOUBLE)/g.h - 4.0/3.0)   AS d3,
-             abs(CAST(g.w AS DOUBLE)/g.h - 16.0/9.0)  AS d4
+             """ + _aspect_dists("g.w", "g.h") + """
       FROM gated g LEFT JOIN drops d ON g.image_id = d.image_id
     )
-    SELECT CASE WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
-                WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
-                WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
-                WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
-                ELSE 'wide_16_9' END AS bucket,
+    SELECT """ + _ASPECT_BUCKET_CASE + """ AS bucket,
            CAST(sum(keep) AS BIGINT) AS n_kept,
            CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
            CAST(sum(n_bytes * keep) AS BIGINT) AS kept_bytes
@@ -2723,18 +2724,7 @@ def _curated_corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey").cast("long")
     m0 = _t(spark, sf_dir, "orders").select(
         k.alias("k"),
-        F.when(k % 23 == 0, F.lit(None).cast("long"))
-        .when(k % 41 == 0, F.lit(10000).cast("long"))
-        .otherwise((k * 37) % 4096 + 32)
-        .alias("w"),
-        ((k * 53) % 2048 + 48).alias("h"),
-        F.when(k % 5 == 0, "png")
-        .when(k % 5 == 1, "jpeg")
-        .when(k % 5 == 2, "webp")
-        .when(k % 5 == 3, "gif")
-        .otherwise("PNG")
-        .alias("fmt"),
-        ((k * 11) % 100000 + 16).alias("n_bytes"),
+        *_meta_col_exprs(k),
         (
             (k * 40503 + 11) % 65536
             + ((k * 9973 + 12345) % 65536) * 65536
@@ -2878,12 +2868,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split used by every text query (proven cross-engine), and avg uses
 # the portable floor(x*1e4+0.5)/1e4 rounding.
 # ---------------------------------------------------------------------------
-_CAPTION_STATS_SQL = """
+_CAPTION_STATS_SQL = f"""
     WITH m AS (
-      SELECT CASE WHEN k % 23 = 0 THEN NULL
-                  WHEN k % 41 = 0 THEN 10000
-                  ELSE (k*37) % 4096 + 32 END AS w,
-             (k*53) % 2048 + 48 AS h,
+      SELECT {_WH_EXPRS},
              trim(repeat(o_orderpriority || ' ', CAST(k % 7 AS INT)))
                AS caption
       FROM (SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority
@@ -2895,19 +2882,10 @@ _CAPTION_STATS_SQL = """
                  regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'),
                  '[^a-z0-9'']+'),
                x -> x <> '')) AS n_toks,
-             abs(CAST(w AS DOUBLE)/h - 9.0/16.0)  AS d0,
-             abs(CAST(w AS DOUBLE)/h - 3.0/4.0)   AS d1,
-             abs(CAST(w AS DOUBLE)/h - 1.0)       AS d2,
-             abs(CAST(w AS DOUBLE)/h - 4.0/3.0)   AS d3,
-             abs(CAST(w AS DOUBLE)/h - 16.0/9.0)  AS d4
+             {_aspect_dists()}
       FROM m
     ), b AS (
-      SELECT CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
-                  WHEN d0 = least(d0,d1,d2,d3,d4) THEN 'tall_9_16'
-                  WHEN d1 = least(d0,d1,d2,d3,d4) THEN 'portrait_3_4'
-                  WHEN d2 = least(d0,d1,d2,d3,d4) THEN 'square_1_1'
-                  WHEN d3 = least(d0,d1,d2,d3,d4) THEN 'landscape_4_3'
-                  ELSE 'wide_16_9' END AS bucket,
+      SELECT {_ASPECT_BUCKET_OR_NULL} AS bucket,
              n_toks
       FROM t
     )

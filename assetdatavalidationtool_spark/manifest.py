@@ -382,7 +382,9 @@ def expire_runs(
     for the checkpoint layout. Returns {"kept", "expired", "tombstones"}.
 
     Runs are ordered by their newest manifest ``seq``; the keep set is
-    ``keep_run_ids`` plus the ``keep_last`` most recent. For every
+    ``keep_run_ids`` plus the ``keep_last`` most recent. At least one
+    of the two must be given (``keep_last=0`` states "expire all"
+    explicitly). For every
     expired run this (1) FIRST appends tombstone rows (status
     ``expired``, seq above every existing one) for each (rule, bucket)
     currently ``done`` — latest-seq-wins makes ``completed()`` empty,
@@ -396,6 +398,14 @@ def expire_runs(
     """
     import shutil
 
+    if keep_last is None and not keep_run_ids:
+        # all-defaults would compute an EMPTY keep set and expire every
+        # run in the layout — total data loss from a no-argument call.
+        # Deleting everything must be spelled out (keep_last=0).
+        raise ValueError(
+            "expire_runs with neither keep_last nor keep_run_ids would "
+            "expire EVERY run; pass keep_last=0 if that is intended"
+        )
     if "://" in output_dir and not output_dir.startswith("file://"):
         raise NotImplementedError(
             "expire_runs deletes via the local filesystem; wire an "

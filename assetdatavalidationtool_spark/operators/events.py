@@ -34,9 +34,18 @@ def sessionize(
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    # unix_micros rejects TIMESTAMP_NTZ (the parquet type); the session
-    # runs in UTC (session.py), so the cast is an exact epoch mapping
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # TZ-free epoch for TIMESTAMP_NTZ (the parquet type): unix_micros
+    # rejects NTZ, and CAST(ntz AS timestamp) routes through the
+    # session timezone — under a non-UTC session two events straddling
+    # a DST transition would get gap arithmetic off by the offset jump.
+    # Field arithmetic (unix_date + time-of-day) maps the naive value
+    # to micros identically in every session timezone.
+    ts_us = F.expr(
+        f"unix_date(cast({ts_col} as date)) * 86400000000"
+        f" + cast(hour({ts_col}) * 3600 + minute({ts_col}) * 60"
+        f"        as bigint) * 1000000"
+        f" + cast(date_part('SECOND', {ts_col}) * 1000000 as bigint)"
+    )
     prev_us = F.lag(ts_us).over(w)
     is_new = F.when(
         prev_us.isNull() | ((ts_us - prev_us) > gap_us), F.lit(1)

@@ -26,8 +26,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 # first-failing-gate order is part of the contract: a row rejected for
-# several reasons reports the FIRST one in this fixed order
-GATE_ORDER = ("null_dims", "too_small", "too_large", "extreme_aspect", "bad_format", "tiny_payload")
+# several reasons reports the FIRST one in this fixed order.
+# gate_reason_expr BUILDS its when-chain from this tuple (reasons whose
+# inputs are disabled are skipped), so it cannot drift from the code.
+GATE_ORDER = (
+    "null_dims", "too_small", "too_large", "extreme_aspect", "bad_format",
+    "tiny_payload", "starved_payload", "bloated_payload",
+)
 
 DEFAULT_FORMATS = ("png", "jpeg", "webp")
 
@@ -94,15 +99,15 @@ def gate_reason_expr(
     when the column is absent)."""
     w, h = F.col("w"), F.col("h")
     fmt_ok = F.lower(F.col("fmt")).isin(*[f.lower() for f in formats])
-    reason = (
-        F.when(w.isNull() | h.isNull() | (w <= 0) | (h <= 0), "null_dims")
-        .when(F.least(w, h) < min_side, "too_small")
-        .when(F.greatest(w, h) > max_side, "too_large")
-        .when((w > h * max_aspect) | (h > w * max_aspect), "extreme_aspect")
-        .when(~fmt_ok | F.col("fmt").isNull(), "bad_format")
-    )
+    conds: dict[str, F.Column] = {
+        "null_dims": w.isNull() | h.isNull() | (w <= 0) | (h <= 0),
+        "too_small": F.least(w, h) < min_side,
+        "too_large": F.greatest(w, h) > max_side,
+        "extreme_aspect": (w > h * max_aspect) | (h > w * max_aspect),
+        "bad_format": ~fmt_ok | F.col("fmt").isNull(),
+    }
     if min_bytes is not None:
-        reason = reason.when(F.col("n_bytes") < min_bytes, "tiny_payload")
+        conds["tiny_payload"] = F.col("n_bytes") < min_bytes
     if milli_bpp_bounds is not None:
         low, high = milli_bpp_bounds
         # widen BEFORE multiplying: int32 n_bytes*1000 wraps negative
@@ -111,8 +116,14 @@ def gate_reason_expr(
         # before a trailing cast can save it
         nb = F.col("n_bytes").cast("long")
         px = w.cast("long") * h
-        reason = reason.when(nb * 1000 < low * px, "starved_payload")
-        reason = reason.when(nb * 1000 > high * px, "bloated_payload")
+        conds["starved_payload"] = nb * 1000 < low * px
+        conds["bloated_payload"] = nb * 1000 > high * px
+    reason = None
+    for name in GATE_ORDER:  # the tuple IS the precedence
+        if name not in conds:
+            continue
+        reason = (F.when(conds[name], name) if reason is None
+                  else reason.when(conds[name], name))
     return reason.otherwise(F.lit(None).cast("string"))
 
 

@@ -93,7 +93,9 @@ def assign_split(
     split (train/val/test by default) from a stable hash of ``id_col``.
 
     Assignment is by cumulative integer thresholds over ``buckets``
-    hash buckets (floor(cum_fraction * buckets)), so the split is exact
+    hash buckets (round(cum_fraction * buckets) — round, not floor:
+    float accumulation leaves sums like 0.01+0.06 at 699.999…, and
+    truncation would shift the boundary bucket), so the split is exact
     to 1/buckets, deterministic, partition-invariant, and portable (the
     SQL mirror computes the identical bucket). The LAST split absorbs
     any rounding remainder so every row is assigned. A row's split
@@ -115,7 +117,7 @@ def assign_split(
     expr = None
     for name in names[:-1]:
         cum += fractions[name]
-        thresh = int(cum * buckets)
+        thresh = round(cum * buckets)
         branch = F.when(b < thresh, F.lit(name))
         expr = branch if expr is None else expr.when(b < thresh, F.lit(name))
     last = F.lit(names[-1])

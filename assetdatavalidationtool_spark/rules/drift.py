@@ -175,11 +175,20 @@ def _read_snapshot(spark, output_dir: str, run_id: str, column: str):
     none) instead of a raw parquet path-not-found."""
     import glob as _glob
 
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(
             _snapshot_path(output_dir, run_id, column)
         ).collect()
-    except Exception as exc:
+    except AnalysisException as exc:
+        # ONLY a missing path means "no snapshot recorded" — a corrupt
+        # or unreadable snapshot must surface as-is, not as a
+        # self-contradictory "run recorded no snapshot" hint (same
+        # narrowing as ValidationRun.split / stream_dedup_exact)
+        if ("PATH_NOT_FOUND" not in str(exc)
+                and "Path does not exist" not in str(exc)):
+            raise
         run_dir = f"{output_dir.rstrip('/')}/metrics/run_id={run_id}"
         recorded = sorted(
             p.split("rule=snapshot(")[1].rstrip(")")
@@ -206,17 +215,33 @@ def load_snapshot(spark, output_dir: str, run_id: str, column: str) -> dict[str,
 
 
 def load_snapshot_spec(
-    spark, output_dir: str, run_id: str, column: str
+    spark, output_dir: str, run_id: str, column: str,
+    legacy_kind: str | None = None,
 ) -> tuple[dict[str, float], str, float, float, int]:
     """Snapshot + its recorded binning spec: ``(reference, kind, lo,
     hi, bins)`` — enough to construct a DriftRule that bins the current
-    run exactly like the snapshot was binned. Snapshots persisted
-    before the metadata rows existed default to categorical/0/1024/32
-    (the only spec earlier CLI versions could write)."""
+    run exactly like the snapshot was binned.
+
+    Snapshots persisted before the ``meta_*`` rows existed carry no
+    kind — and the old CLI could write ANY kind (numeric/categorical/
+    phash_prefix), so guessing would bin the current run differently
+    from the reference and report guaranteed false drift. The caller
+    must state the kind via ``legacy_kind`` (lo/hi/bins take the
+    defaults the old writer used: 0/1024/32)."""
     rows = _read_snapshot(spark, output_dir, run_id, column)
     ref = {r["column"]: r["value"] for r in rows if r["metric"] == "frac"}
     meta = {r["metric"]: r for r in rows if r["metric"].startswith("meta_")}
-    kind = meta["meta_kind"]["column"] if "meta_kind" in meta else "categorical"
+    if "meta_kind" in meta:
+        kind = meta["meta_kind"]["column"]
+    elif legacy_kind is not None:
+        kind = legacy_kind
+    else:
+        raise ValueError(
+            f"snapshot of {column!r} in run {run_id!r} predates binning "
+            f"metadata — its kind (numeric|categorical|phash_prefix) is "
+            f"not recorded and cannot be guessed; pass it explicitly "
+            f"(CLI: --drift-from RUN:COL:KIND)"
+        )
     lo = meta["meta_lo"]["value"] if "meta_lo" in meta else 0.0
     hi = meta["meta_hi"]["value"] if "meta_hi" in meta else 1024.0
     bins = int(meta["meta_bins"]["value"]) if "meta_bins" in meta else 32

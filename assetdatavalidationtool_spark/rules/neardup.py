@@ -72,7 +72,9 @@ class NearDuplicateRule(Rule):
         )
         return member.select(
             F.lit(self.name).alias("rule"),
-            F.col("key"),
+            # explicit cast like every other rule (VIOLATIONS_SCHEMA says
+            # string): a bigint id must not rely on implicit promotion
+            F.col("key").cast("string").alias("key"),
             F.lit(self.phash_col).alias("column"),
             F.concat(
                 F.lit("near-dup of "),

@@ -297,9 +297,14 @@ def stream_dedup_exact(
         from pyspark.errors import AnalysisException
 
         w = Window.partitionBy("digest").orderBy(id_col)
+        digested = batch_df.withColumn("digest", F.md5(F.col(bytes_col)))
+        # NULL-payload rows have no content to dedup on: they PASS
+        # THROUGH to kept/ (digest NULL, never enter the ledger) so the
+        # downstream schema rule can flag them — silently dropping them
+        # here would lose rows from the corpus with no count anywhere
+        null_rows = digested.where(F.col("digest").isNull())
         batch = (
-            batch_df.where(F.col(bytes_col).isNotNull())
-            .withColumn("digest", F.md5(F.col(bytes_col)))
+            digested.where(F.col("digest").isNotNull())
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
@@ -320,6 +325,7 @@ def stream_dedup_exact(
         kept = batch if seen is None else batch.join(
             seen, "digest", "left_anti"
         )
+        kept = kept.unionByName(null_rows)
         kept = kept.withColumn("batch_id", F.lit(batch_id)).persist()
         (
             kept.drop(bytes_col).write.mode("overwrite")
@@ -328,7 +334,8 @@ def stream_dedup_exact(
             .parquet(kept_dir)
         )
         (
-            kept.select("digest", "batch_id").write.mode("overwrite")
+            kept.where(F.col("digest").isNotNull())
+            .select("digest", "batch_id").write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(ledger_dir)

@@ -136,8 +136,19 @@ def connector_sources(spark, cfg: dict) -> dict:
         elif typ == "csv":
             df = read_asset_table(spark, s["path"], order_column="_row")
         elif typ == "parquet":
+            # physical file position, NOT monotonically_increasing_id():
+            # the mono id numbers rows by partition layout, so a
+            # re-read with different splits would pick a DIFFERENT
+            # first-occurrence winner for duplicated keys between two
+            # identical validations. (file_path, row_index) is the
+            # same row forever.
             df = spark.read.parquet(s["path"]).withColumn(
-                "_row", F.monotonically_increasing_id()
+                "_row",
+                F.format_string(
+                    "%s#%012d",
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"),
+                ),
             )
         else:
             raise ValueError(f"unknown source type {typ!r} for {label!r}")
@@ -187,11 +198,14 @@ def main() -> None:
                     "these columns into this run's metrics layout (kinds: "
                     "numeric|categorical|phash_prefix) for future "
                     "--drift-from runs")
-    ap.add_argument("--drift-from", default=None, metavar="RUN_ID[:COL]",
+    ap.add_argument("--drift-from", default=None,
+                    metavar="RUN_ID[:COL[:KIND]]",
                     help="use the snapshot of COL (default fmt) recorded by "
                     "that run in the same --output as the drift reference "
                     "(validate-against-last-known-good); binning spec is "
-                    "read from the snapshot's metadata")
+                    "read from the snapshot's metadata — KIND is only "
+                    "needed (and required) for legacy snapshots that "
+                    "predate the metadata rows")
     ap.add_argument("--split", action="store_true",
                     help="after the rule run, write the clean/quarantine "
                     "row split under OUTPUT/split/run_id=RUN_ID/ (one "
@@ -231,10 +245,13 @@ def main() -> None:
                 load_snapshot_spec,
             )
 
-            run_ref, _, drift_col = args.drift_from.partition(":")
-            drift_col = drift_col or "fmt"
+            parts = args.drift_from.split(":")
+            run_ref = parts[0]
+            drift_col = parts[1] if len(parts) > 1 and parts[1] else "fmt"
+            legacy_kind = parts[2] if len(parts) > 2 and parts[2] else None
             ref, kind, lo, hi, bins = load_snapshot_spec(
-                spark, args.output, run_ref, drift_col
+                spark, args.output, run_ref, drift_col,
+                legacy_kind=legacy_kind,
             )
             if drift_col == "fmt":
                 fmt_ref = ref

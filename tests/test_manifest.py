@@ -461,3 +461,37 @@ def test_expire_runs_sweeps_crash_orphans(spark, data, tmp_path_factory):
     assert res["swept"] == ["g1"]
     assert not os.path.isdir(f"{out}/violations/run_id=g1")
     assert os.path.isdir(f"{out}/violations/run_id=live1")
+
+
+def test_expire_runs_requires_explicit_keep(spark, tmp_path_factory):
+    """All-default expire_runs would compute an empty keep set and wipe
+    every run — the destructive path must be spelled out."""
+    from assetdatavalidationtool_spark.manifest import expire_runs
+
+    out = str(tmp_path_factory.mktemp("expire_guard"))
+    with pytest.raises(ValueError, match="EVERY run"):
+        expire_runs(spark, out)
+
+
+def test_load_snapshot_spec_legacy_kind_required(spark, tmp_path_factory):
+    """Pre-metadata snapshots carry no binning kind; guessing
+    'categorical' for a numeric snapshot would bin the current run
+    differently from the reference and report guaranteed false drift —
+    the caller must state the kind."""
+    import pytest as _pytest
+
+    from assetdatavalidationtool_spark.rules.drift import load_snapshot_spec
+
+    out = str(tmp_path_factory.mktemp("legacy_snap"))
+    path = f"{out}/metrics/run_id=old/rule=snapshot(w)"
+    spark.createDataFrame(
+        [("frac", "3", 0.5), ("frac", "7", 0.5)],
+        "metric string, column string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    with _pytest.raises(ValueError, match="predates binning metadata"):
+        load_snapshot_spec(spark, out, "old", "w")
+    ref, kind, lo, hi, bins = load_snapshot_spec(
+        spark, out, "old", "w", legacy_kind="numeric"
+    )
+    assert kind == "numeric" and (lo, hi, bins) == (0.0, 1024.0, 32)
+    assert ref == {"3": 0.5, "7": 0.5}

@@ -1484,3 +1484,90 @@ def test_boilerplate_captions_ignores_null_captions(spark):
     df = spark.createDataFrame(rows, "image_id string, caption string")
     out = boilerplate_captions(df, min_images=5).collect()
     assert len(out) == 1 and out[0]["caption"] == "same text"
+
+
+def test_sessionize_is_session_timezone_independent(spark):
+    """NTZ gap arithmetic must not route through the session timezone:
+    two events 25 naive-minutes apart straddling the US DST fall-back
+    (01:50 -> 02:15 on 2024-11-03; the session-TZ cast would put them
+    85 epoch-minutes apart) are ONE session under any timeZone."""
+    import datetime as dt
+
+    from assetdatavalidationtool_spark.operators.events import sessionize
+
+    rows = [
+        (1, dt.datetime(2024, 11, 3, 1, 50, 0), 1),
+        (1, dt.datetime(2024, 11, 3, 2, 15, 0), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            results[tz] = sorted(
+                (r["user_id"], r["session_seq"], r["n_events"])
+                for r in sessionize(df, "user_id", "ts", "event_id", 30).collect()
+            )
+        assert results["UTC"] == results["America/New_York"] == [(1, 1, 2)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_assign_split_threshold_rounding(spark):
+    """Custom fractions whose float cumsum lands at X.999… round to the
+    documented threshold instead of truncating one bucket low: with
+    {a:.01, b:.06, c:.93} the b/c boundary is bucket 700 exactly
+    (0.01+0.06 accumulates to 699.999… before rounding)."""
+    from assetdatavalidationtool_spark.operators.sampling import (
+        _hash_bucket,
+        assign_split,
+    )
+
+    df = spark.range(100000).select(F.col("id").cast("string").alias("doc_id"))
+    got = assign_split(df, "doc_id", {"a": 0.01, "b": 0.06, "c": 0.93}).withColumn(
+        "bucket", _hash_bucket(F.col("doc_id"), "split", 10000)
+    )
+    bad = got.where(
+        ((F.col("bucket") < 100) & (F.col("split") != "a"))
+        | ((F.col("bucket") >= 100) & (F.col("bucket") < 700) & (F.col("split") != "b"))
+        | ((F.col("bucket") >= 700) & (F.col("split") != "c"))
+    )
+    assert bad.count() == 0
+    # the boundary bucket itself is populated and lands on the 'b' side
+    assert got.where((F.col("bucket") == 699) & (F.col("split") == "b")).count() > 0
+
+
+def test_gate_order_is_authoritative(spark):
+    """GATE_ORDER lists every reason gate_reason_expr can emit and IS
+    the precedence (the when-chain is built from the tuple)."""
+    from assetdatavalidationtool_spark.operators.images import (
+        GATE_ORDER,
+        gate_reason_expr,
+    )
+
+    assert {"starved_payload", "bloated_payload"} <= set(GATE_ORDER)
+    rows = [
+        # fails too_small AND bad_format AND starved -> first in order wins
+        ("multi", 10, 10, "gif", 16),
+        ("starved", 4000, 4000, "png", 200),
+        ("bloated", 64, 64, "png", 99000),
+        ("clean", 512, 512, "png", 40000),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, n_bytes int"
+    )
+    got = {
+        r["image_id"]: r["reason"]
+        for r in df.select(
+            "image_id",
+            gate_reason_expr(milli_bpp_bounds=(5, 2000)).alias("reason"),
+        ).collect()
+    }
+    assert got["multi"] == "too_small"
+    assert got["starved"] == "starved_payload"
+    assert got["bloated"] == "bloated_payload"
+    assert got["clean"] is None
+    assert {v for v in got.values() if v} <= set(GATE_ORDER)

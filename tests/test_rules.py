@@ -461,3 +461,23 @@ def test_write_split_one_scan_two_sinks(ctx, tmp_path):
     assert clean.count() + quar.count() == ctx.images.count()
     assert quar.count() == 2 * DUPS + DROPPED
     assert "rules_hit" in quar.columns and "n_violations" in quar.columns
+
+
+def test_neardup_rule_casts_key_to_string(spark):
+    """VIOLATIONS_SCHEMA says key is string: a bigint id column must be
+    cast explicitly by the rule, not rely on union-time promotion."""
+    from assetdatavalidationtool_spark.rules import NearDuplicateRule, RuleContext
+
+    imgs = generate_images(spark, 120, near_phash_ids=2).withColumn(
+        "image_id",
+        F.coalesce(
+            F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+            # near_* rows re-use base ids; offset keeps them distinct
+            + F.when(F.col("image_id").startswith("near_"), 1000000).otherwise(0),
+            F.lit(0),
+        ),
+    )
+    ctx = RuleContext(spark=spark, images=imgs, captions=None, num_buckets=8)
+    vio = NearDuplicateRule().violations(ctx)
+    assert dict(vio.dtypes)["key"] == "string"
+    assert vio.count() == 4  # 2 planted pairs x 2 members

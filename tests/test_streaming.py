@@ -265,3 +265,29 @@ def test_stream_sessionize_late_event_extends_open_session(spark, tmp_path_facto
     rows = {(r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()}
     assert ("u1", m(25), 3) in rows, rows  # start extended backward
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_null_bytes_pass_through(spark, tmp_path_factory):
+    """Failed-download rows (bytes NULL) are NOT silently dropped: they
+    pass through to kept/ with digest NULL (so the downstream schema
+    rule can flag them) and never enter the digest ledger."""
+    from assetdatavalidationtool_spark.streaming.validate import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedup_null")
+    src = str(base / "in")
+    schema = "image_id string, bytes binary"
+    f1 = [("img_1", b"A"), ("img_2", None)]
+    f2 = [("img_3", None), ("img_4", b"A")]  # img_4: cross-batch dup of A
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(base / "out")
+    stream_dedup_exact(spark, src, out, str(base / "ck"), max_files_per_trigger=1)
+    kept = spark.read.parquet(f"{out}/kept")
+    got = {r["image_id"]: r["digest"] for r in kept.collect()}
+    assert set(got) == {"img_1", "img_2", "img_3"}
+    assert got["img_2"] is None and got["img_3"] is None
+    ledger = spark.read.parquet(f"{out}/digest_ledger")
+    assert ledger.where(F.col("digest").isNull()).count() == 0
+    assert ledger.count() == 1
