@@ -1918,10 +1918,18 @@ LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
 """
 
 
-def build_ruleset_run(spark: SparkSession, sf_dir: str) -> dict:
+def build_ruleset_run(
+    spark: SparkSession, sf_dir: str, caption_drop_mod: int | None = None
+) -> dict:
     """LAZY RuleSet.run result for the verdict-spine query — split out
     so tests can plan-gate the uncollected verdicts DataFrame. Callers
-    own the persisted ``violations`` and must unpersist it."""
+    own the persisted ``violations`` and must unpersist it.
+
+    ``caption_drop_mod`` simulates a DEGRADED pipeline version for the
+    cross-run regression query: captions whose numeric id is divisible
+    by it are dropped (more "missing caption" referential violations;
+    dropped orphans also IMPROVE some buckets — both diff directions
+    exercised)."""
     from .rules import ReferentialRule, RuleContext, RuleSet, UniquenessRule
 
     orders = _t(spark, sf_dir, "orders").select(
@@ -1938,6 +1946,10 @@ def build_ruleset_run(spark: SparkSession, sf_dir: str) -> dict:
         .unionAll(li.where(F.col("k") % 701 == 0).select((F.col("k") + 100000000).alias("k")))
         .select(F.col("k").cast("string").alias("image_id"))
     )
+    if caption_drop_mod is not None:
+        captions = captions.where(
+            F.col("image_id").cast("long") % caption_drop_mod != 0
+        )
     ctx = RuleContext(
         spark=spark,
         images=images,
@@ -1965,6 +1977,114 @@ def q_ruleset_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = verdicts.collect()
     res["violations"].unpersist()
     return spark.createDataFrame(rows, verdicts.schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-run verdict regression (manifest.py::verdict_regression) — run A
+# is the last-known-good validation, run B a degraded pipeline version
+# (captions divisible by 977 dropped), and the diff classifies every
+# (rule, bucket) as regressed / improved / unchanged WITHOUT re-reading
+# a single data row: verdicts are rules x num_buckets rows at any table
+# size, so at 10^12 images this comparison joins two ~10^4-row sides.
+# The oracle mirrors the full two-run spine: the same verdict SQL as
+# ruleset_verdicts, instantiated per run from one template, diffed with
+# a FULL OUTER JOIN. Non-vacuous both ways at sf0.01: dropped captions
+# regress "missing caption" buckets while dropped orphans improve
+# "missing image" buckets.
+# ---------------------------------------------------------------------------
+def _ruleset_verdict_sql(cap_where: str = "") -> str:
+    """The ruleset_verdicts oracle as a template: ``cap_where`` is an
+    optional SQL predicate applied to the ASSEMBLED captions relation
+    (mirroring build_ruleset_run's caption_drop_mod, which filters the
+    final captions DataFrame after the orphan union)."""
+    where = f"WHERE {cap_where}" if cap_where else ""
+    return f"""
+WITH img AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  WHERE o_orderkey % 1000 = 1
+),
+cap AS (
+  SELECT image_id FROM (
+    SELECT CAST(l_orderkey AS VARCHAR) AS image_id FROM lineitem
+    WHERE l_orderkey % 500 <> 3
+    UNION ALL
+    SELECT CAST(l_orderkey + 100000000 AS VARCHAR) AS image_id FROM lineitem
+    WHERE l_orderkey % 701 = 0
+  ) {where}
+),
+rows_per_bucket AS (
+  SELECT CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS rows_scanned
+  FROM img GROUP BY 1
+),
+dup_vio AS (
+  SELECT 'uniqueness(image_id)' AS rule,
+         CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (SELECT image_id FROM img GROUP BY image_id HAVING count(*) > 1)
+  GROUP BY 1, 2
+),
+ref_vio AS (
+  SELECT 'referential' AS rule,
+         CAST(k AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (
+    SELECT coalesce(i.image_id, c.image_id) AS k
+    FROM (SELECT DISTINCT image_id FROM img) i
+    FULL OUTER JOIN (SELECT DISTINCT image_id FROM cap) c
+      ON i.image_id = c.image_id
+    WHERE i.image_id IS NULL OR c.image_id IS NULL
+  )
+  GROUP BY 1, 2
+),
+vio AS (SELECT * FROM dup_vio UNION ALL SELECT * FROM ref_vio),
+rules AS (
+  SELECT 'uniqueness(image_id)' AS rule
+  UNION ALL SELECT 'referential' AS rule
+)
+SELECT r.rule,
+       b.bucket,
+       b.rows_scanned,
+       CAST(coalesce(v.violation_count, 0) AS BIGINT) AS violation_count
+FROM rows_per_bucket b
+CROSS JOIN rules r
+LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
+"""
+
+
+_REGRESSION_SQL = f"""
+WITH a AS ({_ruleset_verdict_sql()}),
+     b AS ({_ruleset_verdict_sql("CAST(image_id AS BIGINT) % 977 <> 0")})
+SELECT coalesce(a.rule, b.rule) AS rule,
+       coalesce(a.bucket, b.bucket) AS bucket,
+       a.rows_scanned AS rows_a,
+       b.rows_scanned AS rows_b,
+       a.violation_count AS violations_a,
+       b.violation_count AS violations_b,
+       CAST(coalesce(b.violation_count, 0) - coalesce(a.violation_count, 0)
+            AS BIGINT) AS delta,
+       CASE WHEN a.violation_count IS NULL THEN 'only_b'
+            WHEN b.violation_count IS NULL THEN 'only_a'
+            WHEN b.violation_count > a.violation_count THEN 'regressed'
+            WHEN b.violation_count < a.violation_count THEN 'improved'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.rule = b.rule AND a.bucket = b.bucket
+"""
+
+
+@register("verdict_regression", _REGRESSION_SQL)
+def q_verdict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .manifest import verdict_regression
+
+    res_a = build_ruleset_run(spark, sf_dir)
+    res_b = build_ruleset_run(spark, sf_dir, caption_drop_mod=977)
+    out = verdict_regression(res_a["verdicts"], res_b["verdicts"])
+    rows = out.collect()
+    res_a["violations"].unpersist()
+    res_b["violations"].unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -480,6 +480,76 @@ def expire_runs(
     }
 
 
+def verdict_regression(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-(rule, bucket) regression diff between two verdict tables.
+
+    The cross-run complement of the within-run verdicts: run A is the
+    last known-good validation, run B the current one, and the diff
+    answers "which partitions got WORSE" without touching a single
+    data row — verdicts are ``rules × num_buckets`` rows however large
+    the table is, so at 10^12 images this is a join of two ~10^4-row
+    sides. Reference analog: eyeballing two Summary sheets side by
+    side (ReportGenerator.cs run counts), upgraded to partition grain
+    and made mechanical.
+
+    Statuses: ``regressed`` (more violations in B), ``improved``,
+    ``unchanged``, ``only_a`` / ``only_b`` (a (rule, bucket) present in
+    one run only — rule-set or bucketing changed between runs; these
+    rows are flagged rather than silently dropped, since a vanished
+    bucket usually means a changed ``bucket_expr``, which makes the
+    per-bucket comparison meaningless for that rule).
+    """
+    ka = a.select(
+        "rule",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rows_scanned").cast("long").alias("rows_a"),
+        F.col("violation_count").cast("long").alias("violations_a"),
+    )
+    kb = b.select(
+        "rule",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rows_scanned").cast("long").alias("rows_b"),
+        F.col("violation_count").cast("long").alias("violations_b"),
+    )
+    j = ka.join(kb, ["rule", "bucket"], "full_outer")
+    status = (
+        F.when(F.col("violations_a").isNull(), F.lit("only_b"))
+        .when(F.col("violations_b").isNull(), F.lit("only_a"))
+        .when(F.col("violations_b") > F.col("violations_a"), F.lit("regressed"))
+        .when(F.col("violations_b") < F.col("violations_a"), F.lit("improved"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "rule",
+        "bucket",
+        "rows_a",
+        "rows_b",
+        "violations_a",
+        "violations_b",
+        (F.coalesce("violations_b", F.lit(0)) - F.coalesce("violations_a", F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+        status.alias("status"),
+    )
+
+
+def compare_runs(
+    spark: SparkSession, output_dir: str, run_a: str, run_b: str
+) -> DataFrame:
+    """Read two runs' verdicts from a validation layout and diff them
+    (see :func:`verdict_regression`). ``run_a`` is the baseline (last
+    known-good), ``run_b`` the run under test."""
+    root = output_dir.rstrip("/")
+
+    def _verdicts(rid: str) -> DataFrame:
+        return (
+            spark.read.option("basePath", f"{root}/verdicts")
+            .parquet(f"{root}/verdicts/run_id={rid}")
+        )
+
+    return verdict_regression(_verdicts(run_a), _verdicts(run_b))
+
+
 def _sweep_ghost_run_dirs(root: str, ghosts: set[str]) -> list[str]:
     """Remove data dirs of runs that appear in the manifest but have NO
     live rows (fully tombstoned) — the leftovers of a crash between

@@ -8,6 +8,18 @@ objects as the batch engine, exactly once, resumable from Spark's
 streaming checkpoint.
 """
 
-from .validate import stream_validate, windowed_event_counts
+from .validate import (
+    stream_dedup_exact,
+    stream_drift_monitor,
+    stream_sessionize,
+    stream_validate,
+    windowed_event_counts,
+)
 
-__all__ = ["stream_validate", "windowed_event_counts"]
+__all__ = [
+    "stream_dedup_exact",
+    "stream_drift_monitor",
+    "stream_sessionize",
+    "stream_validate",
+    "windowed_event_counts",
+]

@@ -252,6 +252,89 @@ def stream_sessionize(
     )
 
 
+def stream_drift_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    reference: dict[str, float],
+    column: str = "fmt",
+    kind: str = "categorical",
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    bins: int = 32,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Per-micro-batch KS/PSI drift monitoring of a column against a
+    known-good reference distribution — the streaming twin of
+    ``DriftRule`` (rules/drift.py), for catching a bad upstream deploy
+    WHILE data lands rather than at the next batch validation.
+
+    Shape: each micro-batch runs ONE ``groupBy(bin).count()`` (the same
+    ``histogram`` as the batch rule — output is ≤``bins`` rows however
+    large the batch), the KS/PSI scalars are computed driver-side on
+    that tiny table, and one verdict row
+    ``(batch_id, column, n_rows, ks, psi, status)`` is written
+    idempotently (dynamic overwrite of exactly this batch's
+    ``batch_id=N`` partition, same replay-safety argument as
+    ``stream_validate``). Empty micro-batches record ``empty`` — a
+    stalled upstream is itself a signal, and skipping the write would
+    leave a hole a replay could mis-fill.
+
+    State: NONE beyond the histogram aggregate — no watermark needed,
+    because each batch is scored independently against the static
+    reference; drift across batches is read off the monitor table.
+    """
+    from ..rules.drift import histogram, ks_psi
+
+    reader = spark.readStream.schema(spark.read.parquet(input_dir).schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    monitor_dir = f"{output_dir}/drift_monitor"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hist = histogram(batch_df, column, kind, lo, hi, bins).collect()
+        cur = {r["bin"]: r["cnt"] for r in hist}
+        n = sum(cur.values())
+        if n == 0:
+            row = (column, 0, None, None, "empty")
+        else:
+            ks, psi = ks_psi(cur, reference)
+            status = (
+                "drift"
+                if ks > ks_threshold or psi > psi_threshold
+                else "pass"
+            )
+            row = (column, n, float(ks), float(psi), status)
+        (
+            spark.createDataFrame(
+                [row],
+                "column string, n_rows long, ks double, psi double, "
+                "status string",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     input_dir: str,

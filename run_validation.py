@@ -206,6 +206,13 @@ def main() -> None:
                     "read from the snapshot's metadata — KIND is only "
                     "needed (and required) for legacy snapshots that "
                     "predate the metadata rows")
+    ap.add_argument("--compare-to", default=None, metavar="RUN_ID",
+                    help="after the run, diff this run's per-(rule,bucket) "
+                    "verdicts against that baseline run in the same "
+                    "--output (regressed/improved/unchanged per "
+                    "partition — no data rows re-read); the diff table "
+                    "is written under OUTPUT/regressions/ and the "
+                    "status counts are reported in the summary JSON")
     ap.add_argument("--split", action="store_true",
                     help="after the rule run, write the clean/quarantine "
                     "row split under OUTPUT/split/run_id=RUN_ID/ (one "
@@ -301,6 +308,20 @@ def main() -> None:
             keep_run_ids=[args.run_id],
         )
 
+    regression_counts = None
+    if args.compare_to:
+        from assetdatavalidationtool_spark.manifest import compare_runs
+
+        diff = compare_runs(spark, args.output, args.compare_to, args.run_id)
+        diff.write.mode("overwrite").parquet(
+            f"{args.output.rstrip('/')}/regressions/"
+            f"run_id={args.run_id}/vs={args.compare_to}"
+        )
+        regression_counts = {
+            r["status"]: r["n"]
+            for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+
     verdicts = run.verdicts()
     failed = verdicts.where(~(F.col("violation_count") == 0)).count()
     total_vio = verdicts.agg(F.sum("violation_count")).collect()[0][0]
@@ -315,6 +336,9 @@ def main() -> None:
         out["split"] = split_path
     if expire_summary is not None:
         out["expired_runs"] = expire_summary["expired"]
+    if regression_counts is not None:
+        out["regression_vs"] = args.compare_to
+        out["regression_counts"] = regression_counts
     print(json.dumps(out))
 
 

@@ -266,3 +266,35 @@ def test_cli_expire_keep_last(images_dir, tmp_path_factory):
     assert os.path.isdir(f"{out}/violations/run_id=e_new")
     r2 = _run_cli(*common, "--run-id", "e_new")
     assert r2["rules_run"] == 0  # kept run untouched by the expiry
+
+
+def test_cli_compare_to(spark, images_dir, tmp_path_factory):
+    """--compare-to diffs the current run's verdicts against a baseline
+    run in the same layout: a degraded day-2 input (captions dropped)
+    reports regressed referential buckets, and the diff table lands
+    under OUTPUT/regressions/."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("cli_compare"))
+    common = ["--output", out, "--num-buckets", "4", "--cores", "4"]
+    _run_cli("--images", str(images_dir / "images"),
+             "--captions", str(images_dir / "captions"),
+             "--run-id", "base", *common)
+
+    degraded = str(tmp_path_factory.mktemp("cli_compare_data") / "captions")
+    spark.read.parquet(str(images_dir / "captions")).where(
+        ~F.col("image_id").rlike("[02468]$")
+    ).write.parquet(degraded)
+
+    r = _run_cli("--images", str(images_dir / "images"),
+                 "--captions", degraded,
+                 "--run-id", "day2", "--compare-to", "base", *common)
+    assert r["regression_vs"] == "base"
+    counts = r["regression_counts"]
+    assert counts.get("regressed", 0) > 0
+    diff = spark.read.parquet(f"{out}/regressions/run_id=day2/vs=base")
+    reg = diff.where(F.col("status") == "regressed")
+    assert reg.count() == counts["regressed"]
+    # only the referential rule regressed — uniqueness/schema/pixel
+    # inputs are identical between the two runs
+    assert {r2["rule"] for r2 in reg.collect()} == {"referential"}

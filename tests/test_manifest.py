@@ -495,3 +495,71 @@ def test_load_snapshot_spec_legacy_kind_required(spark, tmp_path_factory):
     )
     assert kind == "numeric" and (lo, hi, bins) == (0.0, 1024.0, 32)
     assert ref == {"3": 0.5, "7": 0.5}
+
+
+def test_verdict_regression_statuses(spark):
+    """All five diff classifications from hand-built verdict tables."""
+    from assetdatavalidationtool_spark.manifest import verdict_regression
+
+    schema = (
+        "rule string, bucket long, rows_scanned long, violation_count long"
+    )
+    a = spark.createDataFrame(
+        [("u", 0, 100, 5), ("u", 1, 100, 5), ("u", 2, 100, 5), ("r", 0, 100, 0)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [("u", 0, 100, 9), ("u", 1, 100, 2), ("u", 2, 100, 5), ("r", 1, 50, 1)],
+        schema,
+    )
+    got = {
+        (r["rule"], r["bucket"]): (r["status"], r["delta"])
+        for r in verdict_regression(a, b).collect()
+    }
+    assert got[("u", 0)] == ("regressed", 4)
+    assert got[("u", 1)] == ("improved", -3)
+    assert got[("u", 2)] == ("unchanged", 0)
+    assert got[("r", 0)] == ("only_a", 0)
+    assert got[("r", 1)] == ("only_b", 1)
+
+
+def test_compare_runs_from_layout(spark, data, tmp_path_factory):
+    """End-to-end: two ValidationRuns into one layout, run B with extra
+    caption rows dropped; compare_runs must localize EXACTLY the new
+    missing-caption violations as regressed referential buckets, with
+    the summed delta equal to the number of dropped rows."""
+    from assetdatavalidationtool_spark.manifest import ValidationRun, compare_runs
+
+    images, captions = data
+    out = str(tmp_path_factory.mktemp("compare_runs"))
+    rules = lambda: [UniquenessRule(["image_id"]), ReferentialRule()]  # noqa: E731
+
+    ValidationRun(spark, out, rules(), num_buckets=8, run_id="good").run(
+        images, captions
+    )
+    cap_b = captions.where(~F.col("image_id").rlike("[02468]$"))
+    n_dropped = captions.count() - cap_b.count()
+    assert n_dropped > 0
+    ValidationRun(spark, out, rules(), num_buckets=8, run_id="bad").run(
+        images, cap_b
+    )
+
+    diff = compare_runs(spark, out, "good", "bad")
+    by_status = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status.get("regressed", 0) > 0
+    assert "only_a" not in by_status and "only_b" not in by_status
+    # every dropped caption belongs to an existing image (the fixture's
+    # aliens are 0, its drop_ids already absent from BOTH runs), so each
+    # adds exactly one missing-caption violation — no more, no less
+    ref_delta = (
+        diff.where(F.col("rule") == "referential")
+        .agg(F.sum("delta"))
+        .collect()[0][0]
+    )
+    assert ref_delta == n_dropped
+    # uniqueness is untouched by the caption perturbation
+    uniq = diff.where(F.col("rule").startswith("uniqueness"))
+    assert uniq.where(F.col("status") != "unchanged").count() == 0

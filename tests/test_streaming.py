@@ -291,3 +291,43 @@ def test_stream_dedup_null_bytes_pass_through(spark, tmp_path_factory):
     ledger = spark.read.parquet(f"{out}/digest_ledger")
     assert ledger.where(F.col("digest").isNull()).count() == 0
     assert ledger.count() == 1
+
+
+def test_stream_drift_monitor(spark, tmp_path_factory):
+    """Per-batch KS/PSI against a fixed reference: the clean chunk
+    passes, the fmt-shifted chunk fires, and a checkpointed re-run adds
+    nothing (idempotent replay)."""
+    from assetdatavalidationtool_spark.rules.drift import snapshot_reference
+    from assetdatavalidationtool_spark.streaming import stream_drift_monitor
+
+    base = tmp_path_factory.mktemp("driftstream")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    clean = generate_images(spark, 60, partitions=1)
+    ref = snapshot_reference(clean, "fmt", "categorical")
+    clean.write.mode("append").parquet(inp)
+    # upstream deploy goes bad: every new image lands as webp
+    generate_images(spark, 40, partitions=1).withColumn(
+        "fmt", F.lit("webp")
+    ).write.mode("append").parquet(inp)
+
+    stream_drift_monitor(
+        spark, inp, out, ckpt, reference=ref,
+        column="fmt", kind="categorical", max_files_per_trigger=1,
+    )
+    mon = spark.read.parquet(f"{out}/drift_monitor")
+    rows = {r["n_rows"]: r for r in mon.collect()}
+    assert set(rows) == {60, 40}
+    assert rows[60]["status"] == "pass"
+    assert rows[40]["status"] == "drift"
+    # the clean batch IS the reference sample: scores ~0; the shifted
+    # batch concentrates all mass on one bin: PSI far above threshold
+    assert rows[60]["psi"] < 0.01 and rows[60]["ks"] < 0.01
+    assert rows[40]["psi"] > 0.2
+
+    # no new files: checkpoint prevents re-scoring; monitor unchanged
+    stream_drift_monitor(
+        spark, inp, out, ckpt, reference=ref,
+        column="fmt", kind="categorical", max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(f"{out}/drift_monitor").count() == 2

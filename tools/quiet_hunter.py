@@ -58,7 +58,18 @@ def suite_clean_at_head() -> bool:
     if not suites:
         return False
     last = suites[-1]
-    probes = last.get("suite_probe_sec") or []
+    # the suite record carries SCALAR probe fields (one pair around the
+    # image pass + one at suite end) — collect them into a list; the
+    # previous `or []` treated the scalar as an iterable and raised
+    probes = [
+        p
+        for p in (
+            last.get("image_pass_probe_before_sec"),
+            last.get("image_pass_probe_after_sec"),
+            last.get("suite_probe_sec"),
+        )
+        if p is not None
+    ]
     head_ts = float(
         subprocess.run(
             ["git", "-C", REPO, "log", "-1", "--format=%ct"],
