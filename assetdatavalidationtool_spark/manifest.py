@@ -140,7 +140,22 @@ class ValidationRun:
         _publish_manifest_batch(self.spark, self._manifest_path(), rows)
 
     # -- execution ---------------------------------------------------------
-    def run(self, images: DataFrame, captions: DataFrame | None = None) -> dict:
+    def run(
+        self,
+        images: DataFrame,
+        captions: DataFrame | None = None,
+        sample_buckets: int | None = None,
+    ) -> dict:
+        """Execute the rule set (resumable). With ``sample_buckets=k``
+        this is a CANARY run: bucket-aligned rules run only on buckets
+        ``[0, k)`` and global rules are deferred entirely — a 1/(N/k)
+        cost pre-flight that catches systematic problems (schema break,
+        bad encoder deploy, caption pipeline desync) before committing
+        to a full 10^12-row pass. Canary manifest rows are ordinary
+        ``done`` rows, so the follow-up FULL run under the same run_id
+        resumes past the canary's buckets instead of redoing them
+        (bucket-aligned rules depend only on their own bucket's rows,
+        which is what makes this exact rather than approximate)."""
         ctx = RuleContext(
             spark=self.spark,
             images=images,
@@ -150,22 +165,48 @@ class ValidationRun:
             key_col=self.key_col,
             bucket_expr=self.bucket_expr,
         )
+        if sample_buckets is not None and not (
+            0 < sample_buckets <= self.num_buckets
+        ):
+            raise ValueError(
+                f"sample_buckets must be in [1, {self.num_buckets}], "
+                f"got {sample_buckets}"
+            )
         done = self.completed()
         seq = int(time.time() * 1000)
-        summary = {"rules_run": 0, "rules_skipped": 0, "buckets_skipped": 0}
+        summary = {
+            "rules_run": 0,
+            "rules_skipped": 0,
+            "buckets_skipped": 0,
+            "rules_deferred": 0,
+        }
 
         for rule in self.rules:
             aligned = rule_is_bucket_aligned(rule, ctx)
             done_buckets = done.get(rule.name, set())
             if aligned:
                 all_buckets = set(range(self.num_buckets))
-                todo = all_buckets - done_buckets
-                summary["buckets_skipped"] += len(done_buckets)
+                target = (
+                    set(range(sample_buckets))
+                    if sample_buckets is not None
+                    else all_buckets
+                )
+                todo = target - done_buckets
+                summary["buckets_skipped"] += len(done_buckets & target)
                 if not todo:
                     summary["rules_skipped"] += 1
                     continue
-                rule_ctx = self._filtered_ctx(ctx, todo if done_buckets else None)
+                rule_ctx = self._filtered_ctx(
+                    ctx, None if todo == all_buckets else todo
+                )
             else:
+                if sample_buckets is not None:
+                    # global rules (drift, cross-bucket stats) see a
+                    # biased sample under a bucket filter — defer them
+                    # to the full run rather than record a misleading
+                    # whole-table verdict from 1/(N/k) of the data
+                    summary["rules_deferred"] += 1
+                    continue
                 if done_buckets:
                     summary["rules_skipped"] += 1
                     continue
@@ -181,8 +222,12 @@ class ValidationRun:
             # the unfiltered ctx even for a bucket-filtered resume, and
             # written with overwrite — recomputing them is idempotent.
             # (A crash before the manifest append reruns the rule and
-            # simply overwrites identical metrics.)
-            m = rule.metrics(ctx)
+            # simply overwrites identical metrics.) Canary runs are the
+            # exception: scanning the whole table for metrics would
+            # defeat the 1/(N/k) cost point, so they use the sampled
+            # ctx — the follow-up full run overwrites with whole-table
+            # metrics.
+            m = rule.metrics(ctx if sample_buckets is None else rule_ctx)
             if m is not None:
                 m.select("metric", "column", F.col("value").cast("double")).write.mode(
                     "overwrite"

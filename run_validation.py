@@ -206,6 +206,12 @@ def main() -> None:
                     "read from the snapshot's metadata — KIND is only "
                     "needed (and required) for legacy snapshots that "
                     "predate the metadata rows")
+    ap.add_argument("--canary", type=int, default=None, metavar="K",
+                    help="canary pre-flight: run bucket-aligned rules on "
+                    "buckets [0, K) only and defer global rules — a "
+                    "K/num-buckets-cost check for systematic breakage; "
+                    "the follow-up full run under the same --run-id "
+                    "resumes past the canary's completed buckets")
     ap.add_argument("--compare-to", default=None, metavar="RUN_ID",
                     help="after the run, diff this run's per-(rule,bucket) "
                     "verdicts against that baseline run in the same "
@@ -281,7 +287,7 @@ def main() -> None:
         spark, args.output, rules,
         num_buckets=args.num_buckets, run_id=args.run_id, key_col=key_col,
     )
-    summary = run.run(images, captions)
+    summary = run.run(images, captions, sample_buckets=args.canary)
 
     if args.snapshot:
         from assetdatavalidationtool_spark.rules.drift import (

@@ -563,3 +563,40 @@ def test_compare_runs_from_layout(spark, data, tmp_path_factory):
     # uniqueness is untouched by the caption perturbation
     uniq = diff.where(F.col("rule").startswith("uniqueness"))
     assert uniq.where(F.col("status") != "unchanged").count() == 0
+
+
+def test_canary_then_full_resume(spark, data, tmp_path_factory):
+    """Canary pre-flight (sample_buckets=2 of 8) runs aligned rules on
+    buckets 0-1 only and defers the global drift rule; the follow-up
+    full run resumes past the canary's buckets, and the combined result
+    is row-identical to a fresh full run."""
+    images, captions = data
+    out = str(tmp_path_factory.mktemp("canary"))
+    run = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="c")
+    s1 = run.run(images, captions, sample_buckets=2)
+    assert s1["rules_deferred"] == 1  # drift(fmt) is global
+    assert s1["rules_run"] == 3      # uniqueness / referential / pixel
+
+    done = run.completed()
+    assert done["referential"] == {0, 1}
+    assert done["uniqueness(image_id)"] == {0, 1}
+    assert "drift(fmt)" not in done
+    vio_buckets = {
+        r["bucket"] for r in run.violations().select("bucket").distinct().collect()
+    }
+    assert vio_buckets <= {0, 1}
+
+    s2 = run.run(images, captions)  # full pass, same run_id
+    assert s2["buckets_skipped"] == 6  # 2 canary buckets x 3 aligned rules
+    assert s2["rules_deferred"] == 0
+
+    fresh_out = str(tmp_path_factory.mktemp("canary_fresh"))
+    fresh = ValidationRun(spark, fresh_out, make_rules(), num_buckets=8,
+                          run_id="c")
+    fresh.run(images, captions)
+    assert _vio_set(run) == _vio_set(fresh)
+
+    with pytest.raises(ValueError, match="sample_buckets"):
+        run.run(images, captions, sample_buckets=0)
+    with pytest.raises(ValueError, match="sample_buckets"):
+        run.run(images, captions, sample_buckets=9)
