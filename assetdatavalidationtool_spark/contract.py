@@ -3217,3 +3217,127 @@ def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("n_toks") >= 1) & (F.col("n_toks") <= 2)).cast("int")).alias("n_short"),
         (F.floor(F.avg("n_toks") * 10000 + F.lit(0.5)) / 10000).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Header <-> metadata consistency — decode-free payload introspection
+# (operators/images.py::header_consistency, rules/header.py). The
+# fixture BUILDS real container headers (PNG signature + IHDR dims +
+# IEND trailer; the engine's stub-lossy magics + big-endian dims) from
+# orders keys in BOTH engines, plants four fault families (k%13 wrong
+# embedded dims, k%19 wrong magic, k%31 missing PNG trailer, k%23 NULL
+# width -> NULL payload; 'gif' rows carry an unrecognized magic), and
+# each side must PARSE the bytes back — the oracle re-parses hex text
+# with its own substring/cast arithmetic, it never re-derives the
+# answer from k. NULL propagation matters: the SQL uses `||` (NULL in
+# -> NULL out, matching Spark's concat), never DuckDB's NULL-skipping
+# concat().
+# ---------------------------------------------------------------------------
+_PNG_HDR_HEX = "89504E470D0A1A0A0000000D49484452"
+_PNG_IEND = "0000000049454E44AE426082"
+_HEADER_CONSISTENCY_SQL = f"""
+    WITH meta AS (
+      SELECT k, 'img_' || CAST(k AS VARCHAR) AS image_id,
+             {_META_EXPRS}
+      FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+    ), planted AS (
+      SELECT *,
+        CASE WHEN k % 19 = 0 THEN 'jpeg'
+             WHEN lower(fmt) IN ('png','jpeg','webp') THEN lower(fmt)
+             ELSE 'gif' END AS hfmt,
+        CASE WHEN k % 13 = 0 THEN w + 1 ELSE w END AS hw
+      FROM meta
+    ), built AS (
+      SELECT image_id, w, h, fmt,
+        CASE hfmt
+          WHEN 'png' THEN '{_PNG_HDR_HEX}'
+            || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0')
+            || CASE WHEN k % 31 = 0 THEN '' ELSE '{_PNG_IEND}' END
+          WHEN 'jpeg' THEN '514A5047'
+            || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0') || '08'
+          WHEN 'webp' THEN '51574250'
+            || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0') || '08'
+          ELSE '474946383961' END AS hx
+      FROM planted
+    ), parsed AS (
+      SELECT image_id, w, h, fmt, hx,
+        CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             WHEN substring(hx, 1, 8) = '514A5047' THEN 'jpeg'
+             WHEN substring(hx, 1, 8) = '51574250' THEN 'webp' END AS hdr_fmt
+      FROM built
+    ), dims AS (
+      SELECT *,
+        CASE WHEN hdr_fmt = 'png'
+               THEN CAST('0x' || substring(hx, 33, 8) AS BIGINT)
+             WHEN hdr_fmt IS NOT NULL
+               THEN CAST('0x' || substring(hx, 9, 8) AS BIGINT) END AS hdr_w,
+        CASE WHEN hdr_fmt = 'png'
+               THEN CAST('0x' || substring(hx, 41, 8) AS BIGINT)
+             WHEN hdr_fmt IS NOT NULL
+               THEN CAST('0x' || substring(hx, 17, 8) AS BIGINT) END AS hdr_h
+      FROM parsed
+    ), reasons AS (
+      SELECT *,
+        CASE WHEN hdr_fmt IS NULL OR hdr_w IS NULL OR hdr_h IS NULL
+               THEN 'unreadable_header'
+             WHEN lower(fmt) IS DISTINCT FROM hdr_fmt THEN 'format_mismatch'
+             WHEN (w IS DISTINCT FROM hdr_w) OR (h IS DISTINCT FROM hdr_h)
+               THEN 'dims_mismatch'
+             WHEN hdr_fmt = 'png' AND right(hx, 24) <> '{_PNG_IEND}'
+               THEN 'truncated_payload' END AS reason
+      FROM dims
+    )
+    SELECT image_id, hdr_fmt, hdr_w, hdr_h,
+           reason IS NULL AS consistent, reason
+    FROM reasons
+"""
+
+
+def _header_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _HEADER_CONSISTENCY_SQL's ``built`` CTE: rows
+    with REAL binary payloads whose embedded headers carry the planted
+    faults. Exercises unhex/concat construction so the operator's
+    substring/hex/conv parse runs against genuine bytes."""
+    k = F.col("o_orderkey").cast("long")
+    meta = _t(spark, sf_dir, "orders").select(
+        k.alias("k"),
+        F.concat(F.lit("img_"), k.cast("string")).alias("image_id"),
+        *_meta_col_exprs(k),
+    )
+    kk = F.col("k")
+    planted = meta.select(
+        "*",
+        F.when(kk % 19 == 0, "jpeg")
+        .when(F.lower(F.col("fmt")).isin("png", "jpeg", "webp"), F.lower(F.col("fmt")))
+        .otherwise("gif")
+        .alias("hfmt"),
+        F.when(kk % 13 == 0, F.col("w") + 1).otherwise(F.col("w")).alias("hw"),
+    )
+
+    def hex8(c: F.Column) -> F.Column:
+        return F.lpad(F.hex(c), 8, "0")
+
+    dims_hex = F.concat(hex8(F.col("hw")), hex8(F.col("h")))
+    hx = (
+        F.when(
+            F.col("hfmt") == "png",
+            F.concat(
+                F.lit(_PNG_HDR_HEX),
+                dims_hex,
+                F.when(kk % 31 == 0, F.lit("")).otherwise(F.lit(_PNG_IEND)),
+            ),
+        )
+        .when(F.col("hfmt") == "jpeg", F.concat(F.lit("514A5047"), dims_hex, F.lit("08")))
+        .when(F.col("hfmt") == "webp", F.concat(F.lit("51574250"), dims_hex, F.lit("08")))
+        .otherwise(F.lit("474946383961"))
+    )
+    return planted.select(
+        "image_id", "w", "h", "fmt", F.unhex(hx).alias("bytes")
+    )
+
+
+@register("image_header_consistency", _HEADER_CONSISTENCY_SQL)
+def q_image_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import header_consistency
+
+    return header_consistency(_header_fixture_table(spark, sf_dir))

@@ -48,7 +48,9 @@ MANIFEST_SCHEMA = (
     "rows_scanned long, violation_count long, wall_sec double, seq long"
 )
 
-ALIGNED_RULE_PREFIXES = ("schema", "row_invariant", "referential", "gate")
+ALIGNED_RULE_PREFIXES = (
+    "schema", "row_invariant", "referential", "gate", "header",
+)
 
 # Per-row modality rules that bucket their violations by a fixed key
 # column of their table (rules/audio.py, rules/video.py use

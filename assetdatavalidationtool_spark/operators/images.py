@@ -314,3 +314,144 @@ def exact_duplicates(
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Header <-> metadata consistency: decode-free payload introspection.
+# The magics/offsets mirror codecs.py exactly (PNG_SIG / STUB_MAGIC and
+# the encode_png / encode_stub_lossy layouts).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"          # codecs.PNG_SIG
+_STUB_MAGIC_HEX = {"jpeg": "514A5047",     # codecs.STUB_MAGIC  b"QJPG"
+                   "webp": "51574250"}     #                    b"QWBP"
+# 12-byte PNG trailer: len=0 + "IEND" + CRC32("IEND") — every complete
+# PNG stream ends with exactly these bytes (ISO/IEC 15948 §5.6)
+_PNG_IEND_HEX = "0000000049454E44AE426082"
+
+# first-failing-reason order, same contract as GATE_ORDER: a row with
+# several problems reports the FIRST one here
+HEADER_ORDER = (
+    "unreadable_header", "format_mismatch", "dims_mismatch",
+    "truncated_payload",
+)
+
+
+def _be_uint(bytes_col: F.Column, off: int, nbytes: int) -> F.Column:
+    """Big-endian unsigned int from a byte slice (1-based offset).
+
+    Substring the BINARY first, then hex only the slice: hexing the
+    whole payload would materialize a 2x-payload string per row — at
+    10^12 rows that is the difference between reading 24 bytes and
+    re-encoding the corpus."""
+    return F.conv(F.hex(F.substring(bytes_col, off, nbytes)), 16, 10).cast("long")
+
+
+def _header_exprs(b: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """(hdr_fmt, hdr_w, hdr_h) Column expressions over a binary payload
+    column — shared by header_fields and header_consistency."""
+    magic8 = F.hex(F.substring(b, 1, 8))       # 16 hex chars, uppercase
+    magic4 = F.substring(magic8, 1, 8)
+    hdr_fmt = (
+        F.when(magic8 == _PNG_SIG_HEX, F.lit("png"))
+        .when(magic4 == _STUB_MAGIC_HEX["jpeg"], F.lit("jpeg"))
+        .when(magic4 == _STUB_MAGIC_HEX["webp"], F.lit("webp"))
+    )
+    is_png = magic8 == _PNG_SIG_HEX
+    hdr_w = F.when(is_png, _be_uint(b, 17, 4)).when(
+        hdr_fmt.isNotNull(), _be_uint(b, 5, 4)
+    )
+    hdr_h = F.when(is_png, _be_uint(b, 21, 4)).when(
+        hdr_fmt.isNotNull(), _be_uint(b, 9, 4)
+    )
+    return hdr_fmt, hdr_w, hdr_h
+
+
+def header_fields(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Parse (hdr_fmt, hdr_w, hdr_h) out of the payload's embedded
+    header → (<id_col>, w, h, fmt, hdr_fmt, hdr_w, hdr_h).
+
+    Containers carry their own dimensions: PNG in the IHDR chunk
+    (bytes 17-24 big-endian, after the 8-byte signature + 4-byte length
+    + "IHDR"), the engine's stub-lossy formats at bytes 5-12 after
+    their 4-byte magic (codecs.py::encode_stub_lossy). ``hdr_fmt`` is
+    NULL for a NULL, short, or unrecognized-magic payload.
+
+    Scale: pure Column expressions (substring/hex/conv — JVM, inside
+    whole-stage codegen), no decompression, no Python. The payload
+    column is read but only its first 24 bytes are ever transformed;
+    this is the cheapest check that touches ``bytes`` at all — the
+    tier below it is :func:`image_gate` (metadata only), the tier above
+    is the full pixel invariant (rules/row_invariant.py).
+    """
+    hdr_fmt, hdr_w, hdr_h = _header_exprs(F.col(bytes_col))
+    return df.select(
+        id_col, "w", "h", "fmt",
+        hdr_fmt.alias("hdr_fmt"), hdr_w.alias("hdr_w"), hdr_h.alias("hdr_h"),
+    )
+
+
+def header_consistency(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    check_truncation: bool = True,
+) -> DataFrame:
+    """Decode-free payload↔metadata screen → (<id_col>, hdr_fmt, hdr_w,
+    hdr_h, consistent, reason).
+
+    Reasons, in :data:`HEADER_ORDER` precedence (NULL = consistent):
+
+    * ``unreadable_header`` — NULL payload, payload shorter than its
+      format's header, or unrecognized magic. Catches failed downloads
+      and non-image payloads before a decoder ever sees them.
+    * ``format_mismatch`` — the ``fmt`` column disagrees with the
+      payload's magic (case-insensitive on the column, as everywhere).
+      A mislabeled format crashes or silently mis-decodes downstream
+      training loaders.
+    * ``dims_mismatch`` — (w, h) columns disagree with the embedded
+      dimensions (null-safe: NULL column dims against parsed ones are a
+      mismatch; the metadata gate's ``null_dims`` fires first in a
+      composed pipeline, this screen stands alone too).
+    * ``truncated_payload`` (PNG only, ``check_truncation=True``) — the
+      stream does not end with the mandatory 12-byte IEND trailer; a
+      cut-off transfer keeps a valid header, so only the tail betrays
+      it. The stub-lossy formats carry no trailer — truncation there
+      surfaces at decode (zlib error → pixel-invariant violation).
+
+    Everything is JVM-side Column arithmetic in the scan stage — no
+    zlib, no Python, no shuffle. The reference's analogue is cell-level
+    conflict detection between two sources (Validator.cs:93-142); here
+    the two "sources" are the metadata columns and the payload's own
+    header.
+    """
+    b = F.col(bytes_col)
+    hdr_fmt, hdr_w, hdr_h = _header_exprs(b)
+    unreadable = hdr_fmt.isNull() | hdr_w.isNull() | hdr_h.isNull()
+    fmt_mismatch = ~F.lower(F.col("fmt")).eqNullSafe(hdr_fmt)
+    dims_mismatch = ~F.col("w").cast("long").eqNullSafe(hdr_w) | ~F.col(
+        "h"
+    ).cast("long").eqNullSafe(hdr_h)
+    reason = F.when(unreadable, "unreadable_header").when(
+        fmt_mismatch, "format_mismatch"
+    ).when(dims_mismatch, "dims_mismatch")
+    if check_truncation:
+        # hex only the last 12 bytes (negative offset = from the end)
+        trailer = F.hex(F.substring(b, -12, 12))
+        reason = reason.when(
+            (hdr_fmt == "png") & (trailer != _PNG_IEND_HEX),
+            "truncated_payload",
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    # ONE narrow projection straight off the source relation: the
+    # payload is consumed by substring right where it is read, so
+    # nothing wider than these six columns leaves the scan stage
+    return df.select(
+        id_col,
+        hdr_fmt.alias("hdr_fmt"), hdr_w.alias("hdr_w"), hdr_h.alias("hdr_h"),
+        reason.isNull().alias("consistent"), reason.alias("reason"),
+    )

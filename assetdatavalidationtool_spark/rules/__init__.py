@@ -7,6 +7,8 @@ Reference parity map (SURVEY.md §7.1):
 * UniquenessRule    ← first-row-wins key index   (ReportGenerator.cs:150-156)
 * ReferentialRule   ← MatchesAll / MissingByFile (Validator.cs:67-91)
 * RowInvariantRule  ← Conflicts/Deltas compare   (Validator.cs:93-142)
+* HeaderConsistencyRule ← the same conflict compare between metadata
+  columns and the payload's own embedded header — decode-free
 * DriftRule         ← field-mapping score distributions (ReportGenerator.cs:170-205)
 * AudioInvariantRule ← RowInvariantRule's per-row compare applied to a
   WAV-clips table (exact sample equality — the lossless counterpart of
@@ -31,6 +33,7 @@ from .drift import DriftRule
 from .audio import AudioInvariantRule
 from .video import VideoInvariantRule
 from .gate import MetadataGateRule
+from .header import HeaderConsistencyRule
 from .neardup import NearDuplicateRule
 
 __all__ = [
@@ -48,5 +51,6 @@ __all__ = [
     "AudioInvariantRule",
     "VideoInvariantRule",
     "MetadataGateRule",
+    "HeaderConsistencyRule",
     "NearDuplicateRule",
 ]

@@ -587,33 +587,41 @@ def main() -> None:
     # VERDICT r04 #2: the final stdout line is a COMPACT record that
     # fits the driver's tail capture (last 2000 chars of stdout — the
     # r1/r2 archives parse, r3/r4 don't, and the difference is exactly
-    # whether the final JSON line fit). With 68 queries the line is the
-    # queries dict, so: compact separators, 2-decimal seconds, and a
-    # 1-decimal fallback if future queries push it past the budget.
-    # Per-query load/steal/attempt diagnostics are file-only.
-    def _compact_line(ndigits: int, extras: bool) -> str:
+    # whether the final JSON line fit). The suite is now 70 queries, so
+    # the full 2-decimal map no longer fits: include the SLOWEST
+    # queries first (they are the informative ones) until the budget
+    # is reached, and record how many short queries were elided. The
+    # headline + probe stamps always survive; per-query load/steal/
+    # attempt diagnostics are file-only in BENCH/bench_last.json.
+    def _compact_line(n_queries: int) -> str:
+        by_time = sorted(queries, key=queries.get, reverse=True)[:n_queries]
+        qd = {k: round(queries[k], 2) for k in sorted(by_time)}
+        elided = len(queries) - len(by_time)
+        if elided:
+            qd["_fastest_queries_elided"] = elided
         d = {
             "metric": record["metric"],
             "value": record["value"],
             "unit": record["unit"],
-            "queries": {k: round(v, ndigits) for k, v in queries.items()},
+            "queries": qd,
             "sf": record["sf"],
+            # the headline + its probe stamps must survive ANY fallback:
+            # they are what BENCH/BASELINE.md claims are judged against
+            "images_validated_per_sec": record["images_validated_per_sec"],
+            "n_images": record["n_images"],
+            "image_pass_probe_before_sec": record["image_pass_probe_before_sec"],
+            "image_pass_probe_after_sec": record["image_pass_probe_after_sec"],
+            "suite_probe_sec": record["suite_probe_sec"],
+            "full_record": "BENCH/bench_last.json",
         }
-        if extras:
-            d.update({
-                "images_validated_per_sec": record["images_validated_per_sec"],
-                "n_images": record["n_images"],
-                "image_pass_probe_before_sec": record["image_pass_probe_before_sec"],
-                "image_pass_probe_after_sec": record["image_pass_probe_after_sec"],
-                "suite_probe_sec": record["suite_probe_sec"],
-            })
-        d["full_record"] = "BENCH/bench_last.json"
         return json.dumps(d, separators=(",", ":"))
 
-    for attempt in ((2, True), (1, True), (1, False)):
-        line = _compact_line(*attempt)
-        if len(line) <= 1900:
-            break
+    line = _compact_line(len(queries))
+    n = len(queries)
+    while len(line) > 1900 and n > 1:
+        # shrink geometrically: each json.dumps is cheap but not free
+        n = min(n - 1, int(n * 0.8))
+        line = _compact_line(n)
     print(line)
 
 

@@ -24,6 +24,7 @@ from assetdatavalidationtool_spark.manifest import ValidationRun
 from assetdatavalidationtool_spark.rules import (
     AudioInvariantRule,
     DriftRule,
+    HeaderConsistencyRule,
     ReferentialRule,
     RowInvariantRule,
     SchemaRule,
@@ -54,6 +55,10 @@ def default_rules(fmt_reference: dict[str, float]) -> list:
             ]
         ),
         MetadataGateRule(max_side=4096),
+        # decode-free payload<->metadata screen: runs before any pixel
+        # is decompressed, so a mislabeled/truncated payload is caught
+        # at scan speed rather than as a decoder crash downstream
+        HeaderConsistencyRule(),
         UniquenessRule(["image_id"]),
         UniquenessRule(["phash"], salted=True),
         NearDuplicateRule(),

@@ -47,7 +47,7 @@ def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
         "--output", out, "--run-id", "cli1",
         "--num-buckets", "8", "--cores", "4", "--split",
     )
-    assert r1["rules_run"] == 9 and r1["rules_skipped"] == 0
+    assert r1["rules_run"] == 10 and r1["rules_skipped"] == 0
     # --split wrote the clean/quarantine sinks from the run's violations
     assert r1["split"] == f"{out}/split/run_id=cli1"
     assert os.path.isdir(f"{out}/split/run_id=cli1/status=clean")
@@ -64,7 +64,7 @@ def test_cli_image_run_and_resume(images_dir, tmp_path_factory):
         "--output", out, "--run-id", "cli1",
         "--num-buckets", "8", "--cores", "4",
     )
-    assert r2["rules_run"] == 0 and r2["rules_skipped"] == 9
+    assert r2["rules_run"] == 0 and r2["rules_skipped"] == 10
     assert r2["total_violations"] == r1["total_violations"]
     # metrics landed in the layout (stats + drift rules emit them)
     assert os.path.isdir(f"{out}/metrics/run_id=cli1/rule=stats")
@@ -98,7 +98,7 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
         "--num-buckets", "4", "--cores", "4",
         "--snapshot", "fmt:categorical,w:numeric",
     )
-    assert r1["rules_run"] == 9
+    assert r1["rules_run"] == 10
     assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(fmt)")
     assert os.path.isdir(f"{out}/metrics/run_id=day1/rule=snapshot(w)")
 
@@ -122,7 +122,7 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
 
     # day-3: RUN_ID:COL selects the non-fmt snapshot — the extra drift
     # rule bins w exactly like day1's recorded spec and fires on a
-    # shifted w distribution (rules_run == 8: stock set + drift(w))
+    # shifted w distribution (stock set + drift(w))
     w_drifted = str(tmp_path_factory.mktemp("cli_drift_w") / "images")
     spark.read.parquet(str(images_dir / "images")).withColumn(
         "w", F.lit(1000)
@@ -131,7 +131,7 @@ def test_cli_snapshot_then_drift_from(spark, images_dir, tmp_path_factory):
         "--images", w_drifted, "--output", out, "--run-id", "day3",
         "--num-buckets", "4", "--cores", "4", "--drift-from", "day1:w",
     )
-    assert r3["rules_run"] == 10
+    assert r3["rules_run"] == 11
     w_vio = spark.read.parquet(f"{out}/violations/run_id=day3/rule=drift(w)")
     assert w_vio.count() > 0
 
@@ -248,7 +248,7 @@ def test_spark_submit_py_files_deployment(images_dir, tmp_path_factory):
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     summary = json.loads(line)
-    assert summary["rules_run"] == 9
+    assert summary["rules_run"] == 10
     assert summary["total_violations"] >= 2 + 3 + 4
 
 

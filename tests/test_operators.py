@@ -1571,3 +1571,70 @@ def test_gate_order_is_authoritative(spark):
     assert got["bloated"] == "bloated_payload"
     assert got["clean"] is None
     assert {v for v in got.values() if v} <= set(GATE_ORDER)
+
+
+def test_header_consistency_real_payloads(spark):
+    """The decode-free header screen over REAL codec bytes: datagen's
+    actual PNG streams and stub-lossy payloads, with one planted fault
+    per reason family. Mirrors the reference's two-source cell conflict
+    (Validator.cs:93-142) with the payload header as the second source."""
+    from assetdatavalidationtool_spark.datagen import make_row
+    from assetdatavalidationtool_spark.operators.images import (
+        HEADER_ORDER,
+        header_consistency,
+        header_fields,
+    )
+
+    # first png and first stub-lossy row datagen produces
+    i, png = 0, None
+    stub = None
+    while png is None or stub is None:
+        r = make_row(i)
+        if r["fmt"] == "png" and png is None:
+            png = r
+        elif r["fmt"] in ("jpeg", "webp") and stub is None:
+            stub = r
+        i += 1
+    rows = [
+        ("ok_png", png["w"], png["h"], "png", bytearray(png["bytes"])),
+        ("ok_stub", stub["w"], stub["h"], stub["fmt"], bytearray(stub["bytes"])),
+        # case-insensitive fmt column, like every other screen
+        ("ok_case", png["w"], png["h"], "PNG", bytearray(png["bytes"])),
+        ("wrong_w", png["w"] + 1, png["h"], "png", bytearray(png["bytes"])),
+        ("wrong_fmt", png["w"], png["h"], "jpeg", bytearray(png["bytes"])),
+        ("cut_tail", png["w"], png["h"], "png", bytearray(png["bytes"][:-12])),
+        ("no_bytes", png["w"], png["h"], "png", None),
+        ("garbage", png["w"], png["h"], "png", bytearray(b"notanimage__")),
+        ("sig_only", png["w"], png["h"], "png", bytearray(png["bytes"][:18])),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w long, h long, fmt string, bytes binary"
+    )
+    got = {r["image_id"]: r for r in header_consistency(df).collect()}
+    expect = {
+        "ok_png": None,
+        "ok_stub": None,
+        "ok_case": None,
+        "wrong_w": "dims_mismatch",
+        "wrong_fmt": "format_mismatch",
+        "cut_tail": "truncated_payload",
+        "no_bytes": "unreadable_header",
+        "garbage": "unreadable_header",
+        "sig_only": "unreadable_header",
+    }
+    assert {k: v["reason"] for k, v in got.items()} == expect
+    assert all(got[k]["consistent"] == (v is None) for k, v in expect.items())
+    assert {v for v in expect.values() if v} <= set(HEADER_ORDER)
+    # parsed dims come from the REAL stream on readable rows
+    fields = {r["image_id"]: r for r in header_fields(df).collect()}
+    assert fields["ok_png"]["hdr_w"] == png["w"]
+    assert fields["ok_png"]["hdr_h"] == png["h"]
+    assert fields["ok_stub"]["hdr_w"] == stub["w"]
+    assert fields["ok_stub"]["hdr_fmt"] == stub["fmt"]
+    assert fields["garbage"]["hdr_fmt"] is None
+    # truncation check can be disabled: the cut tail then passes
+    got_notrunc = {
+        r["image_id"]: r["reason"]
+        for r in header_consistency(df, check_truncation=False).collect()
+    }
+    assert got_notrunc["cut_tail"] is None

@@ -411,3 +411,16 @@ def test_bucketed_layout_makes_referential_exchange_free(spark, tmp_path_factory
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_img_b")
         spark.sql("DROP TABLE IF EXISTS t_cap_b")
+
+
+def test_header_consistency_is_scan_stage_only(ctx):
+    """The header screen is a narrow projection: zero exchanges, and
+    the scan reads only the five columns it needs (never phash or
+    caption) — at 10^12 rows the payload is sliced where it is read."""
+    from assetdatavalidationtool_spark.rules.header import HeaderConsistencyRule
+
+    p = plan(HeaderConsistencyRule().violations(ctx))
+    assert p.count("Exchange") == 0
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "bytes" in read[0]
+    assert "phash" not in read[0] and "caption" not in read[0]

@@ -481,3 +481,40 @@ def test_neardup_rule_casts_key_to_string(spark):
     vio = NearDuplicateRule().violations(ctx)
     assert dict(vio.dtypes)["key"] == "string"
     assert vio.count() == 4  # 2 planted pairs x 2 members
+
+
+def test_header_consistency_rule_flags_and_maps_columns(spark):
+    """HeaderConsistencyRule over real datagen payloads: tampered
+    metadata columns surface as violations mapped to the offending
+    column; clean rows stay silent; the rule is bucket-aligned so a
+    resume re-scans only missing buckets."""
+    from assetdatavalidationtool_spark.datagen import generate_images
+    from assetdatavalidationtool_spark.manifest import rule_is_bucket_aligned
+    from assetdatavalidationtool_spark.rules import RuleContext
+    from assetdatavalidationtool_spark.rules.header import HeaderConsistencyRule
+
+    images = generate_images(spark, 40)
+    # tamper the METADATA (payload headers stay true): every 7th id
+    # gets a wrong width, every 11th a wrong format label
+    k = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+    tampered = images.withColumn(
+        "w", F.when(k % 7 == 3, F.col("w") + 5).otherwise(F.col("w"))
+    ).withColumn(
+        "fmt",
+        F.when(k % 11 == 4, F.lit("tiff")).otherwise(F.col("fmt")),
+    )
+    ctx = RuleContext(spark=spark, images=tampered, captions=None, num_buckets=8)
+    rule = HeaderConsistencyRule()
+    assert rule_is_bucket_aligned(rule, ctx)
+    got = {r["key"]: r for r in rule.violations(ctx).collect()}
+    expected_dims = {f"img_{i:012d}" for i in range(40) if i % 7 == 3 and i % 11 != 4}
+    expected_fmt = {f"img_{i:012d}" for i in range(40) if i % 11 == 4}
+    assert set(got) == expected_dims | expected_fmt
+    for key in expected_fmt:
+        assert got[key]["column"] == "fmt"
+        assert got[key]["detail"] == "header: format_mismatch"
+    for key in expected_dims:
+        assert got[key]["column"] == "w,h"
+        assert got[key]["detail"] == "header: dims_mismatch"
+    assert all(r["rule"] == "header_consistency" and r["bucket"] is not None
+               for r in got.values())
