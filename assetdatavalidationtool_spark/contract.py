@@ -1918,20 +1918,13 @@ LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
 """
 
 
-def build_ruleset_run(
-    spark: SparkSession, sf_dir: str, caption_drop_mod: int | None = None
-) -> dict:
-    """LAZY RuleSet.run result for the verdict-spine query — split out
-    so tests can plan-gate the uncollected verdicts DataFrame. Callers
-    own the persisted ``violations`` and must unpersist it.
-
-    ``caption_drop_mod`` simulates a DEGRADED pipeline version for the
-    cross-run regression query: captions whose numeric id is divisible
-    by it are dropped (more "missing caption" referential violations;
-    dropped orphans also IMPROVE some buckets — both diff directions
-    exercised)."""
-    from .rules import ReferentialRule, RuleContext, RuleSet, UniquenessRule
-
+def _ruleset_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The planted-violation (images, captions) pair shared by every
+    verdict-spine query (ruleset_verdicts / verdict_regression /
+    incremental_verdicts): duplicated image ids at %1000==1, dropped
+    captions at %500==3, alien captions at %701==0."""
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("image_id")
     )
@@ -1946,6 +1939,24 @@ def build_ruleset_run(
         .unionAll(li.where(F.col("k") % 701 == 0).select((F.col("k") + 100000000).alias("k")))
         .select(F.col("k").cast("string").alias("image_id"))
     )
+    return images, captions
+
+
+def build_ruleset_run(
+    spark: SparkSession, sf_dir: str, caption_drop_mod: int | None = None
+) -> dict:
+    """LAZY RuleSet.run result for the verdict-spine query — split out
+    so tests can plan-gate the uncollected verdicts DataFrame. Callers
+    own the persisted ``violations`` and must unpersist it.
+
+    ``caption_drop_mod`` simulates a DEGRADED pipeline version for the
+    cross-run regression query: captions whose numeric id is divisible
+    by it are dropped (more "missing caption" referential violations;
+    dropped orphans also IMPROVE some buckets — both diff directions
+    exercised)."""
+    from .rules import ReferentialRule, RuleContext, RuleSet, UniquenessRule
+
+    images, captions = _ruleset_inputs(spark, sf_dir)
     if caption_drop_mod is not None:
         captions = captions.where(
             F.col("image_id").cast("long") % caption_drop_mod != 0
@@ -3341,3 +3352,125 @@ def q_image_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.images import header_consistency
 
     return header_consistency(_header_fixture_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental re-validation (manifest.py::ValidationRun.run
+# incremental_from) — run A validates the base table and records
+# per-bucket input fingerprints; run B validates a day-2 table whose
+# captions changed in EXACTLY ONE bucket (keys divisible by 977 in
+# bucket 0 dropped — non-empty at every test SF) and inherits A's materialized results for the 15
+# unchanged buckets. The oracle computes run B's verdicts FROM SCRATCH
+# on the day-2 table: inheritance must be invisible in the results —
+# only the manifest lineage and the work done differ (the query body
+# raises if the expected 2x15 buckets were NOT inherited, so a silent
+# fall-back to full recompute cannot masquerade as a pass).
+# ---------------------------------------------------------------------------
+_INCREMENTAL_SQL = """
+WITH img AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR) AS image_id FROM orders
+  WHERE o_orderkey % 1000 = 1
+),
+cap0 AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 500 <> 3
+  UNION ALL
+  SELECT CAST(l_orderkey + 100000000 AS VARCHAR) AS image_id FROM lineitem
+  WHERE l_orderkey % 701 = 0
+),
+cap AS (
+  SELECT image_id FROM cap0
+  WHERE NOT (CAST(image_id AS BIGINT) % 977 = 0
+             AND CAST(image_id AS BIGINT) % 16 = 0)
+),
+rows_per_bucket AS (
+  SELECT CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS rows_scanned
+  FROM img GROUP BY 1
+),
+dup_vio AS (
+  SELECT 'uniqueness(image_id)' AS rule,
+         CAST(image_id AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (SELECT image_id FROM img GROUP BY image_id HAVING count(*) > 1)
+  GROUP BY 1, 2
+),
+ref_vio AS (
+  SELECT 'referential' AS rule,
+         CAST(k AS BIGINT) % 16 AS bucket,
+         count(*) AS violation_count
+  FROM (
+    SELECT coalesce(i.image_id, c.image_id) AS k
+    FROM (SELECT DISTINCT image_id FROM img) i
+    FULL OUTER JOIN (SELECT DISTINCT image_id FROM cap) c
+      ON i.image_id = c.image_id
+    WHERE i.image_id IS NULL OR c.image_id IS NULL
+  )
+  GROUP BY 1, 2
+),
+vio AS (SELECT * FROM dup_vio UNION ALL SELECT * FROM ref_vio),
+rules AS (
+  SELECT 'uniqueness(image_id)' AS rule
+  UNION ALL SELECT 'referential' AS rule
+)
+SELECT 'B' AS run_id,
+       r.rule,
+       b.bucket,
+       b.rows_scanned,
+       CAST(coalesce(v.violation_count, 0) AS BIGINT) AS violation_count,
+       coalesce(v.violation_count, 0) = 0 AS pass
+FROM rows_per_bucket b
+CROSS JOIN rules r
+LEFT JOIN vio v ON v.rule = r.rule AND v.bucket = b.bucket
+"""
+
+
+@register("incremental_verdicts", _INCREMENTAL_SQL)
+def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .manifest import ValidationRun
+    from .rules import ReferentialRule, UniquenessRule
+
+    images, captions = _ruleset_inputs(spark, sf_dir)
+    k = F.col("image_id").cast("long")
+    captions_day2 = captions.where(~((k % 977 == 0) & (k % 16 == 0)))
+
+    def rules():
+        return [UniquenessRule(["image_id"]), ReferentialRule()]
+
+    bexpr = lambda c: F.pmod(c.cast("long"), F.lit(16))  # noqa: E731
+    out = tempfile.mkdtemp(prefix="avt_incremental_")
+    try:
+        ValidationRun(
+            spark, out, rules(), num_buckets=16, run_id="A",
+            bucket_expr=bexpr,
+        ).run(images, captions, record_fingerprints=True)
+        run_b = ValidationRun(
+            spark, out, rules(), num_buckets=16, run_id="B",
+            bucket_expr=bexpr,
+        )
+        summary = run_b.run(images, captions_day2, incremental_from="A")
+        # self-audit: results matching the oracle is necessary but not
+        # sufficient — a broken fingerprint diff that silently recomputed
+        # everything would also match. Inheritance must actually happen.
+        if summary["buckets_inherited"] != 2 * 15:
+            raise AssertionError(
+                f"expected 2 rules x 15 unchanged buckets inherited, "
+                f"got {summary['buckets_inherited']}"
+            )
+        verd = run_b.verdicts().select(
+            F.col("run_id").cast("string").alias("run_id"),
+            F.col("rule").cast("string").alias("rule"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("rows_scanned").cast("long").alias("rows_scanned"),
+            F.col("violation_count").cast("long").alias("violation_count"),
+            (F.col("violation_count") == 0).alias("pass"),
+        )
+        rows = verd.collect()
+        return spark.createDataFrame(rows, verd.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -48,6 +48,75 @@ MANIFEST_SCHEMA = (
     "rows_scanned long, violation_count long, wall_sec double, seq long"
 )
 
+# Per-bucket input fingerprints: one row per (side, bucket) plus one
+# "_meta" compatibility row. fp is the exact decimal(38,0) sum of
+# per-row xxhash64 over the side's columns, serialized as a string —
+# order-independent (sum is commutative), duplicate-sensitive (unlike
+# XOR, two identical rows do NOT cancel), and overflow-free under ANSI
+# (10^12 rows x 2^63 < 10^38).
+FINGERPRINT_SCHEMA = "bucket long, side string, n_rows long, fp string"
+
+
+def bucket_fingerprints(
+    ctx: RuleContext, include_bytes: bool = True
+) -> DataFrame:
+    """Per-bucket content fingerprints of the run's input — the change
+    detector behind incremental re-validation (``incremental_from``).
+
+    One metadata-speed aggregate per side: every row hashes its columns
+    (sorted by name, so column order is irrelevant) with ``xxhash64``
+    and the per-bucket fingerprint is the exact decimal sum. Buckets
+    whose (n_rows, fp) both match the base run's — on EVERY side — are
+    provably byte-identical input partitions (up to 64-bit hash
+    collisions) and can inherit the base run's results.
+
+    ``include_bytes=False`` drops the payload column from the hash: the
+    scan then reads only the narrow metadata columns (parquet column
+    pruning — at 10^12 rows that is ~40 B/row instead of ~50 KB/row),
+    at the cost of trusting that payload edits always surface in
+    metadata (w/h/fmt/phash). Default True: one IO-speed read of the
+    payload replaces the full decode+compare pass — on a real Iceberg
+    deployment even that read disappears, because snapshot/file-level
+    diffs identify unchanged partitions from pure metadata; this
+    content fingerprint is the format-agnostic equivalent.
+
+    The "_meta" row pins everything that makes fingerprints comparable:
+    num_buckets, key_col, custom bucketing, and whether bytes were
+    hashed. A mismatch on any of these makes the comparison refuse to
+    inherit (full recompute) rather than guess.
+    """
+    parts = []
+    for side, df in (("images", ctx.images), ("captions", ctx.captions)):
+        if df is None:
+            continue
+        cols = sorted(c for c in df.columns if include_bytes or c != "bytes")
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        parts.append(
+            ctx.with_bucket(df)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(h.cast("decimal(38,0)")).cast("string").alias("fp"),
+            )
+            .select(
+                "bucket", F.lit(side).alias("side"), "n_rows", "fp"
+            )
+        )
+    meta = ctx.spark.createDataFrame(
+        [(
+            -1,
+            "_meta",
+            ctx.num_buckets,
+            f"key={ctx.key_col}|bytes={int(include_bytes)}"
+            f"|custom_bucket={int(ctx.bucket_expr is not None)}",
+        )],
+        FINGERPRINT_SCHEMA,
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.unionAll(meta)
+
 ALIGNED_RULE_PREFIXES = (
     "schema", "row_invariant", "referential", "gate", "header",
 )
@@ -103,25 +172,33 @@ class ValidationRun:
     def _manifest_path(self) -> str:
         return f"{self.out}/manifest"
 
+    def _fingerprints_path(self, run_id: str | None = None) -> str:
+        return f"{self.out}/fingerprints/run_id={run_id or self.run_id}"
+
     def read_manifest(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self._manifest_path())
         except Exception:
             return None
 
-    def completed(self) -> dict[str, set[int]]:
-        """{rule: {buckets done}} for this run_id (latest status wins)."""
+    def completed(self, run_id: str | None = None) -> dict[str, set[int]]:
+        """{rule: {buckets done}} for a run_id (latest status wins).
+        ``inherited`` buckets count as done: their results were copied
+        from a base run and are as complete as a computed bucket —
+        both for resume and for serving as a base themselves."""
         m = self.read_manifest()
         if m is None:
             return {}
         w = Window.partitionBy("rule", "bucket").orderBy(F.desc("seq"))
         latest = (
-            m.where(F.col("run_id") == self.run_id)
+            m.where(F.col("run_id") == (run_id or self.run_id))
             .withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1")
         )
         done: dict[str, set[int]] = {}
-        for r in latest.where(F.col("status") == "done").collect():
+        for r in latest.where(
+            F.col("status").isin("done", "inherited")
+        ).collect():
             done.setdefault(r["rule"], set()).add(r["bucket"])
         return done
 
@@ -147,6 +224,9 @@ class ValidationRun:
         images: DataFrame,
         captions: DataFrame | None = None,
         sample_buckets: int | None = None,
+        incremental_from: str | None = None,
+        record_fingerprints: bool = False,
+        fingerprint_bytes: bool = True,
     ) -> dict:
         """Execute the rule set (resumable). With ``sample_buckets=k``
         this is a CANARY run: bucket-aligned rules run only on buckets
@@ -157,7 +237,28 @@ class ValidationRun:
         ``done`` rows, so the follow-up FULL run under the same run_id
         resumes past the canary's buckets instead of redoing them
         (bucket-aligned rules depend only on their own bucket's rows,
-        which is what makes this exact rather than approximate)."""
+        which is what makes this exact rather than approximate).
+
+        ``incremental_from=<base_run_id>`` makes this an INCREMENTAL
+        re-validation: per-bucket input fingerprints (see
+        :func:`bucket_fingerprints`) are compared against the base
+        run's recorded ones, and every bucket whose input is unchanged
+        on EVERY side inherits the base run's materialized violations
+        and verdicts (manifest status ``inherited`` — the lineage says
+        so) instead of recomputing. Only changed buckets pay the full
+        rule pass; at 10^12 rows with a 0.1% daily churn that is a
+        ~1000x cut in decode work. Correctness guards: inheritance is
+        per bucket-aligned rule and only from buckets the base manifest
+        marks done; global rules inherit only when NO bucket changed;
+        a num_buckets/key_col/bucket_expr/fingerprint-mode mismatch, or
+        a missing base fingerprint table, disables inheritance entirely
+        (full recompute — never a guess). The run records its own
+        fingerprints afterwards, so incremental runs chain day over
+        day. ``record_fingerprints=True`` records them on an ordinary
+        full run (the bootstrap). ``fingerprint_bytes=False`` hashes
+        only the metadata columns — a 1000x narrower scan that trusts
+        payload edits to surface in metadata; both runs must use the
+        same mode (it is pinned in the fingerprint ``_meta`` row)."""
         ctx = RuleContext(
             spark=self.spark,
             images=images,
@@ -174,6 +275,17 @@ class ValidationRun:
                 f"sample_buckets must be in [1, {self.num_buckets}], "
                 f"got {sample_buckets}"
             )
+        if sample_buckets is not None and (
+            incremental_from is not None or record_fingerprints
+        ):
+            # fingerprinting scans the WHOLE input — running it inside
+            # a 1/(N/k)-cost canary defeats the canary's purpose, and a
+            # canary only validates k buckets so it cannot vouch for an
+            # inherited full result either.
+            raise ValueError(
+                "sample_buckets (canary) cannot be combined with "
+                "incremental_from/record_fingerprints"
+            )
         done = self.completed()
         seq = int(time.time() * 1000)
         summary = {
@@ -181,7 +293,16 @@ class ValidationRun:
             "rules_skipped": 0,
             "buckets_skipped": 0,
             "rules_deferred": 0,
+            "buckets_inherited": 0,
         }
+        fp_rows = None
+        if incremental_from is not None or record_fingerprints:
+            fp_rows = bucket_fingerprints(ctx, fingerprint_bytes).collect()
+        if incremental_from is not None:
+            unchanged = self._unchanged_buckets(fp_rows, incremental_from)
+            if unchanged:
+                self._inherit(ctx, incremental_from, unchanged, done,
+                              seq, summary)
 
         for rule in self.rules:
             aligned = rule_is_bucket_aligned(rule, ctx)
@@ -258,7 +379,148 @@ class ValidationRun:
             self._append_manifest(rows)
             vio.unpersist()
             summary["rules_run"] += 1
+        if fp_rows is not None:
+            # recorded LAST: a crash mid-run leaves no fingerprint
+            # table, so a later incremental_from this run finds nothing
+            # to inherit from rather than trusting a half-finished run
+            self.spark.createDataFrame(
+                fp_rows, FINGERPRINT_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._fingerprints_path()
+            )
         return summary
+
+    def _unchanged_buckets(
+        self, fp_rows: list, base_run_id: str
+    ) -> set[int]:
+        """Buckets whose input is byte-identical to the base run's on
+        EVERY side (n_rows and fp both match). Empty set — full
+        recompute — when the base recorded no fingerprints, when the
+        "_meta" compatibility row differs (num_buckets / key_col /
+        bucket_expr / fingerprint mode), or when the side sets differ
+        (e.g. the base run had no captions table)."""
+        try:
+            base_rows = self.spark.read.parquet(
+                self._fingerprints_path(base_run_id)
+            ).collect()
+        except Exception:
+            return set()
+        cur = {(r["side"], r["bucket"]): (r["n_rows"], r["fp"])
+               for r in fp_rows}
+        bas = {(r["side"], r["bucket"]): (r["n_rows"], r["fp"])
+               for r in base_rows}
+        if cur.get(("_meta", -1)) != bas.get(("_meta", -1)):
+            return set()
+        cur_sides = {s for s, _ in cur if s != "_meta"}
+        bas_sides = {s for s, _ in bas if s != "_meta"}
+        if cur_sides != bas_sides:
+            return set()
+        # a bucket absent on both sides (zero rows in both runs) is
+        # unchanged; absent in exactly one is changed
+        return {
+            b for b in range(self.num_buckets)
+            if all(cur.get((s, b)) == bas.get((s, b)) for s in cur_sides)
+        }
+
+    def _inherit(
+        self,
+        ctx: RuleContext,
+        base_run_id: str,
+        unchanged: set[int],
+        done: dict[str, set[int]],
+        seq: int,
+        summary: dict,
+    ) -> None:
+        """Copy the base run's materialized results for unchanged
+        buckets into this run and mark them ``inherited`` in the
+        manifest. Mutates ``done`` so the main rule loop skips them.
+
+        Copies move only RESULT rows (violations + tiny verdicts) —
+        never input data — so the cost is proportional to the base
+        run's violation count, not the table. Missing base artifacts
+        narrow safely: no verdicts for a rule → that rule recomputes;
+        no violations dir → the rule was clean, nothing to copy."""
+        from pyspark.errors import AnalysisException
+
+        def _missing(e: AnalysisException) -> bool:
+            # UNABLE_TO_INFER_SCHEMA = the dir exists but holds no data
+            # files — how an empty partitioned write (a CLEAN rule's
+            # violations) materializes
+            return ("PATH_NOT_FOUND" in str(e)
+                    or "Path does not exist" in str(e)
+                    or "UNABLE_TO_INFER_SCHEMA" in str(e))
+
+        base_done = self.completed(base_run_id)
+        all_buckets = set(range(self.num_buckets))
+        manifest_rows: list[tuple] = []
+        for rule in self.rules:
+            aligned = rule_is_bucket_aligned(rule, ctx)
+            bdone = base_done.get(rule.name, set())
+            if aligned:
+                inh = sorted(
+                    (unchanged & bdone) - done.get(rule.name, set())
+                )
+            else:
+                # a global rule's verdict depends on every row: inherit
+                # only when the ENTIRE input is unchanged
+                inh = (
+                    [-1]
+                    if unchanged == all_buckets and -1 in bdone
+                    and not done.get(rule.name)
+                    else []
+                )
+            if not inh:
+                continue
+            try:
+                verd = self.spark.read.parquet(
+                    f"{self.out}/verdicts/run_id={base_run_id}/rule={rule.name}"
+                ).where(F.col("bucket").isin(inh))
+                vrows = verd.collect()
+            except AnalysisException as e:
+                if _missing(e):
+                    continue  # base verdicts gone (expired?) — recompute
+                raise
+            have = {int(r["bucket"]) for r in vrows}
+            inh = [b for b in inh if b in have]
+            if not inh:
+                continue
+            try:
+                vio = self.spark.read.parquet(
+                    f"{self.out}/violations/run_id={base_run_id}/rule={rule.name}"
+                ).where(F.col("bucket").isin(inh))
+                self._write_partitioned(vio, rule.name)
+            except AnalysisException as e:
+                if not _missing(e):
+                    raise  # unreadable ≠ clean: do not drop violations
+            self._write_partitioned(
+                verd.where(F.col("bucket").isin(inh)),
+                rule.name, kind="verdicts",
+            )
+            # metrics describe the whole table: valid whenever the rule
+            # is inheritable at all; the main loop overwrites them if
+            # the rule still runs on changed buckets
+            try:
+                mdf = self.spark.read.parquet(
+                    f"{self.out}/metrics/run_id={base_run_id}/rule={rule.name}"
+                )
+                mdf.write.mode("overwrite").parquet(
+                    f"{self.out}/metrics/run_id={self.run_id}/rule={rule.name}"
+                )
+            except AnalysisException as e:
+                if not _missing(e):
+                    raise
+            for r in vrows:
+                if int(r["bucket"]) not in set(inh):
+                    continue
+                manifest_rows.append((
+                    self.run_id, rule.name, int(r["bucket"]), "inherited",
+                    int(r["rows_scanned"]), int(r["violation_count"]),
+                    0.0, seq,
+                ))
+            done.setdefault(rule.name, set()).update(inh)
+            summary["buckets_inherited"] += len(inh)
+        if manifest_rows:
+            self._append_manifest(manifest_rows)
 
     def _filtered_ctx(self, ctx: RuleContext, todo: set[int] | None) -> RuleContext:
         if todo is None:
@@ -472,7 +734,7 @@ def expire_runs(
     live = (
         m.withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
-        .where(F.col("status") == "done")
+        .where(F.col("status").isin("done", "inherited"))
         .select("run_id", "rule", "bucket", "seq")
         .persist()
     )
@@ -516,7 +778,7 @@ def expire_runs(
     if rows:
         _publish_manifest_batch(spark, f"{root}/manifest", rows)
     for rid in expired:
-        for kind in ("violations", "verdicts", "metrics", "split"):
+        for kind in ("violations", "verdicts", "metrics", "split", "fingerprints"):
             shutil.rmtree(f"{root}/{kind}/run_id={rid}", ignore_errors=True)
     swept = _sweep_ghost_run_dirs(root, ghosts)
     return {
@@ -609,7 +871,7 @@ def _sweep_ghost_run_dirs(root: str, ghosts: set[str]) -> list[str]:
     import shutil
 
     swept: set[str] = set()
-    for kind in ("violations", "verdicts", "metrics", "split"):
+    for kind in ("violations", "verdicts", "metrics", "split", "fingerprints"):
         kdir = f"{root}/{kind}"
         if not os.path.isdir(kdir):
             continue

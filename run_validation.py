@@ -217,6 +217,23 @@ def main() -> None:
                     "K/num-buckets-cost check for systematic breakage; "
                     "the follow-up full run under the same --run-id "
                     "resumes past the canary's completed buckets")
+    ap.add_argument("--incremental-from", default=None, metavar="RUN_ID",
+                    help="incremental re-validation: compare per-bucket "
+                    "input fingerprints against that base run (same "
+                    "--output) and inherit its materialized violations/"
+                    "verdicts for every unchanged bucket (manifest status "
+                    "'inherited'); only changed buckets pay the full rule "
+                    "pass. This run records its own fingerprints, so "
+                    "incremental runs chain")
+    ap.add_argument("--fingerprint", action="store_true",
+                    help="record per-bucket input fingerprints for this "
+                    "run so a later run can --incremental-from it "
+                    "(implied by --incremental-from)")
+    ap.add_argument("--fingerprint-no-bytes", action="store_true",
+                    help="fingerprint only the metadata columns (a ~1000x "
+                    "narrower scan that trusts payload edits to surface "
+                    "in w/h/fmt/phash); base and incremental runs must "
+                    "use the same mode")
     ap.add_argument("--compare-to", default=None, metavar="RUN_ID",
                     help="after the run, diff this run's per-(rule,bucket) "
                     "verdicts against that baseline run in the same "
@@ -292,7 +309,12 @@ def main() -> None:
         spark, args.output, rules,
         num_buckets=args.num_buckets, run_id=args.run_id, key_col=key_col,
     )
-    summary = run.run(images, captions, sample_buckets=args.canary)
+    summary = run.run(
+        images, captions, sample_buckets=args.canary,
+        incremental_from=args.incremental_from,
+        record_fingerprints=args.fingerprint,
+        fingerprint_bytes=not args.fingerprint_no_bytes,
+    )
 
     if args.snapshot:
         from assetdatavalidationtool_spark.rules.drift import (

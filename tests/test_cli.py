@@ -298,3 +298,42 @@ def test_cli_compare_to(spark, images_dir, tmp_path_factory):
     # only the referential rule regressed — uniqueness/schema/pixel
     # inputs are identical between the two runs
     assert {r2["rule"] for r2 in reg.collect()} == {"referential"}
+
+
+def test_cli_incremental_from(images_dir, spark, tmp_path_factory):
+    """--fingerprint on day 1, --incremental-from on day 2: unchanged
+    buckets are inherited, the changed bucket recomputes, and the day-2
+    violation set equals a from-scratch run on the day-2 input."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("cli_incr"))
+    common = ["--captions", str(images_dir / "captions"),
+              "--output", out, "--num-buckets", "8", "--cores", "4"]
+    r1 = _run_cli("--images", str(images_dir / "images"),
+                  *common, "--run-id", "day1", "--fingerprint")
+    assert r1["rules_run"] == 10 and r1["buckets_inherited"] == 0
+    assert os.path.isdir(f"{out}/fingerprints/run_id=day1")
+
+    # day-2 images: one image's metadata width tampered (bytes intact)
+    day2 = str(tmp_path_factory.mktemp("cli_incr_d2") / "images")
+    imgs = spark.read.parquet(str(images_dir / "images"))
+    victim = imgs.select("image_id").orderBy("image_id").limit(1).collect()[0][0]
+    imgs.withColumn(
+        "w",
+        F.when(F.col("image_id") == victim, F.col("w") + 7).otherwise(F.col("w")),
+    ).write.parquet(day2)
+
+    r2 = _run_cli("--images", day2, *common,
+                  "--run-id", "day2", "--incremental-from", "day1")
+    assert r2["buckets_inherited"] > 0
+    assert r2["rules_run"] > 0  # changed bucket + global rules recompute
+    # results are indistinguishable from a fresh day-2 run
+    r3 = _run_cli("--images", day2, *common, "--run-id", "fresh2")
+    vio = lambda rid: {  # noqa: E731
+        (r["rule"], r["key"], r["detail"])
+        for r in spark.read.option("basePath", f"{out}/violations")
+        .parquet(f"{out}/violations/run_id={rid}")
+        .select("rule", "key", "detail").collect()
+    }
+    assert vio("day2") == vio("fresh2")
+    assert r2["total_violations"] == r3["total_violations"]

@@ -600,3 +600,127 @@ def test_canary_then_full_resume(spark, data, tmp_path_factory):
         run.run(images, captions, sample_buckets=0)
     with pytest.raises(ValueError, match="sample_buckets"):
         run.run(images, captions, sample_buckets=9)
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-run validation (fingerprints + inheritance)
+# ---------------------------------------------------------------------------
+
+def _verd_set(run):
+    return {
+        (r["rule"], int(r["bucket"]), int(r["rows_scanned"]),
+         int(r["violation_count"]))
+        for r in run.verdicts()
+        .select("rule", "bucket", "rows_scanned", "violation_count")
+        .collect()
+    }
+
+
+def test_incremental_equals_fresh_on_changed_input(spark, data, tmp_path_factory):
+    """The headline property: an incremental run over a changed input
+    produces EXACTLY the violations and verdicts a from-scratch run
+    produces — inheritance is invisible in the results, only in the
+    manifest lineage and the work done."""
+    out = str(tmp_path_factory.mktemp("run_incr"))
+    images, captions = data
+
+    base = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="day1")
+    s0 = base.run(images, captions, record_fingerprints=True)
+    assert s0["rules_run"] == 4 and s0["buckets_inherited"] == 0
+    import os
+    assert os.path.isdir(f"{out}/fingerprints/run_id=day1")
+
+    # day-2 input: ONE caption row dropped — exactly one bucket changes
+    # on the captions side, the images side is untouched
+    victim = captions.select("image_id").orderBy("image_id").limit(1).collect()[0][0]
+    cap2 = captions.where(F.col("image_id") != victim)
+    vbucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(victim)), F.lit(8)).cast("long").alias("b")
+    ).collect()[0]["b"]
+
+    incr = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="day2")
+    s2 = incr.run(images, cap2, incremental_from="day1")
+    # 3 aligned rules x 7 unchanged buckets inherited; drift (global)
+    # must recompute because a bucket changed
+    assert s2["buckets_inherited"] == 3 * 7
+    assert s2["rules_run"] == 4  # every rule still ran on the changed bucket
+
+    fresh = ValidationRun(spark, str(tmp_path_factory.mktemp("run_incr_fresh")),
+                          make_rules(), num_buckets=8, run_id="day2")
+    fresh.run(images, cap2)
+    assert _vio_set(incr) == _vio_set(fresh)
+    assert _verd_set(incr) == _verd_set(fresh)
+
+    # lineage: unchanged buckets say 'inherited', the changed bucket 'done'
+    m = spark.read.parquet(f"{out}/manifest")
+    day2 = {(r["rule"], r["bucket"]): r["status"]
+            for r in m.where(F.col("run_id") == "day2").collect()}
+    assert day2[("referential", int(vbucket))] == "done"
+    inherited = {k for k, v in day2.items() if v == "inherited"}
+    assert len(inherited) == 3 * 7
+    assert all(b != vbucket for _, b in inherited)
+
+
+def test_incremental_identical_input_inherits_everything(spark, data, tmp_path_factory):
+    """Nothing changed → zero rules execute: every aligned bucket and
+    every global rule is inherited, and a further incremental run can
+    chain off the inherited run."""
+    out = str(tmp_path_factory.mktemp("run_incr_id"))
+    images, captions = data
+    base = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="g1")
+    base.run(images, captions, record_fingerprints=True)
+    want_vio, want_verd = _vio_set(base), _verd_set(base)
+
+    r2 = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="g2")
+    s2 = r2.run(images, captions, incremental_from="g1")
+    assert s2["rules_run"] == 0
+    assert s2["buckets_inherited"] == 3 * 8 + 1  # aligned x buckets + drift
+    assert _vio_set(r2) == want_vio and _verd_set(r2) == want_verd
+    # inherited metrics came along (drift emits metrics)
+    assert {r["rule"] for r in r2.metrics().select("rule").distinct().collect()} \
+        >= {"drift(fmt)"}
+
+    # chain: g3 inherits from g2's inherited results
+    r3 = ValidationRun(spark, out, make_rules(), num_buckets=8, run_id="g3")
+    s3 = r3.run(images, captions, incremental_from="g2")
+    assert s3["rules_run"] == 0 and s3["buckets_inherited"] == 3 * 8 + 1
+    assert _vio_set(r3) == want_vio and _verd_set(r3) == want_verd
+
+
+def test_incremental_guards_disable_inheritance(spark, data, tmp_path_factory):
+    """No base fingerprints, or incompatible fingerprint meta
+    (num_buckets / bytes-mode) → full recompute, never a guess."""
+    out = str(tmp_path_factory.mktemp("run_incr_guard"))
+    images, captions = data
+    rules = make_rules()[:2]  # uniqueness + referential, keep it fast
+
+    # base WITHOUT fingerprints
+    ValidationRun(spark, out, rules, num_buckets=8, run_id="b1").run(images, captions)
+    r = ValidationRun(spark, out, rules, num_buckets=8, run_id="b2")
+    s = r.run(images, captions, incremental_from="b1")
+    assert s["buckets_inherited"] == 0 and s["rules_run"] == 2
+
+    # base with METADATA-ONLY fingerprints, incremental with bytes mode
+    ValidationRun(spark, out, rules, num_buckets=8, run_id="b3").run(
+        images, captions, record_fingerprints=True, fingerprint_bytes=False)
+    r4 = ValidationRun(spark, out, rules, num_buckets=8, run_id="b4")
+    s4 = r4.run(images, captions, incremental_from="b3")
+    assert s4["buckets_inherited"] == 0 and s4["rules_run"] == 2
+
+    # num_buckets mismatch
+    r5 = ValidationRun(spark, out, rules, num_buckets=16, run_id="b5")
+    s5 = r5.run(images, captions, incremental_from="b3",
+                fingerprint_bytes=False)
+    assert s5["buckets_inherited"] == 0 and s5["rules_run"] == 2
+
+    # matched metadata-only mode DOES inherit
+    r6 = ValidationRun(spark, out, rules, num_buckets=8, run_id="b6")
+    s6 = r6.run(images, captions, incremental_from="b3",
+                fingerprint_bytes=False)
+    assert s6["rules_run"] == 0 and s6["buckets_inherited"] == 2 * 8
+
+    # canary + fingerprints is an explicit error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="canary"):
+        ValidationRun(spark, out, rules, num_buckets=8, run_id="b7").run(
+            images, captions, sample_buckets=2, incremental_from="b3")
