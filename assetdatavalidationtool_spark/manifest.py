@@ -155,6 +155,7 @@ class ValidationRun:
         run_id: str = "run_0",
         key_col: str = "image_id",
         bucket_expr=None,
+        partition_col: str | None = None,
     ):
         self.spark = spark
         self.out = output_dir.rstrip("/")
@@ -166,6 +167,20 @@ class ValidationRun:
         # transform) flows into the RuleContext so every rule, the
         # resume filter, and the written partition values all agree.
         self.bucket_expr = bucket_expr
+        # Name of a PHYSICAL partition column the input layout carries
+        # whose value equals bucket_of(key) — what sources/bucketed.py
+        # materializes at write time, or an Iceberg bucket partition
+        # transform. When set, bucket-grain filters (resume, canary,
+        # incremental) apply to THIS column instead of recomputing the
+        # hash, so Spark prunes unchanged partitions at the source: a
+        # resume or incremental pass never reads the skipped buckets'
+        # files at all — the difference between "scan 100 TB and throw
+        # 63/64 away" and "read 1/64". The layout is trusted to match
+        # bucket_of(key), exactly like an engine trusts an Iceberg
+        # partition transform; rules still compute bucket_of(key) for
+        # their output rows, so a lying layout surfaces as verdicts
+        # written under buckets the filter never selected.
+        self.partition_col = partition_col
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- manifest ----------------------------------------------------------
@@ -526,11 +541,19 @@ class ValidationRun:
         if todo is None:
             return ctx
         blist = sorted(todo)
-        f_img = ctx.images.where(
-            ctx.bucket_of(F.col(ctx.key_col)).isin(blist)
-        )
+
+        def _bucket_filter(df: DataFrame) -> DataFrame:
+            # physical partition column beats recomputing the hash:
+            # the .isin over a partition column is a PartitionFilter —
+            # skipped buckets' files are never opened
+            if (self.partition_col is not None
+                    and self.partition_col in df.columns):
+                return df.where(F.col(self.partition_col).isin(blist))
+            return df.where(ctx.bucket_of(F.col(ctx.key_col)).isin(blist))
+
+        f_img = _bucket_filter(ctx.images)
         f_cap = (
-            ctx.captions.where(ctx.bucket_of(F.col(ctx.key_col)).isin(blist))
+            _bucket_filter(ctx.captions)
             if ctx.captions is not None
             else None
         )

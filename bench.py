@@ -180,6 +180,34 @@ def materialize_images(spark, n: int) -> tuple[str, str]:
     return img_path, cap_path
 
 
+def materialize_bucketed(spark, n: int, buckets: int = 64) -> tuple[str, str]:
+    """Bucket-partitioned copies of the image+caption tables
+    (bucket = pmod(xxhash64(image_id), buckets) materialized as a
+    physical partition column, as sources/bucketed.py's layout does) —
+    the input shape where resume/incremental bucket filters become
+    partition pruning."""
+    from pyspark.sql import functions as F
+
+    img_path, cap_path = materialize_images(spark, n)
+    bimg = f"{CACHE_DIR}/images_b{buckets}_n{n}"
+    bcap = f"{CACHE_DIR}/captions_b{buckets}_n{n}"
+    marker = f"{CACHE_DIR}/.done_b{buckets}_n{n}"
+    if not os.path.exists(marker):
+        bkt = F.pmod(F.xxhash64(F.col("image_id")), F.lit(buckets)).cast("int")
+        # write-time shuffle on the bucket: one task per bucket = one
+        # file per partition dir (the last shuffle the key ever needs)
+        spark.read.parquet(img_path).withColumn("bucket", bkt).repartition(
+            buckets, "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").option(
+            "parquet.block.size", 33554432
+        ).parquet(bimg)
+        spark.read.parquet(cap_path).withColumn("bucket", bkt).repartition(
+            buckets, "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(bcap)
+        open(marker, "w").write("ok")
+    return bimg, bcap
+
+
 def warm_python_workers(spark) -> None:
     """Spawn the Arrow Python workers + JIT the scan path once so the
     measured pass reflects steady-state throughput, not process spawn
@@ -263,6 +291,24 @@ def run_validation_pass(spark, img_path: str, cap_path: str) -> dict:
     }
 
 
+def warm_page_cache(*paths: str) -> None:
+    """Page-cache warm via DIRECT parallel file reads, not a Spark scan:
+    at local[1] a single-threaded parquet scan of a multi-GB bytes
+    column takes minutes of untimed leg wall; raw reads warm the same
+    pages at IO speed regardless of the leg's core count."""
+    import concurrent.futures
+    import glob
+
+    def _touch(path: str) -> None:
+        with open(path, "rb", buffering=0) as f:
+            while f.read(16 * 1024 * 1024):
+                pass
+
+    files = [f for p in paths for f in glob.glob(f"{p}/part-*")]
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        list(ex.map(_touch, files))
+
+
 def single_run(cores: int, n: int, repeats: int = 2) -> dict:
     """Entry for scaling subprocesses: full pass at local[cores].
 
@@ -278,21 +324,7 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
                       driver_memory="48g")
     img_path, cap_path = materialize_images(spark, n)
     warm_python_workers(spark)
-    # page-cache warm via DIRECT parallel file reads, not a Spark scan:
-    # at local[1] a single-threaded parquet scan of a multi-GB bytes
-    # column takes minutes of untimed leg wall; raw reads warm the same
-    # pages at IO speed regardless of the leg's core count
-    import concurrent.futures
-    import glob
-
-    def _touch(path: str) -> None:
-        with open(path, "rb", buffering=0) as f:
-            while f.read(16 * 1024 * 1024):
-                pass
-
-    files = glob.glob(f"{img_path}/part-*") + glob.glob(f"{cap_path}/part-*")
-    with concurrent.futures.ThreadPoolExecutor(8) as ex:
-        list(ex.map(_touch, files))
+    warm_page_cache(img_path, cap_path)
     # REAL warm pass over a small slice (2 parquet files ≈ 5k images):
     # the noop-UDF warm doesn't heat the actual decode path — JVM C2
     # compilation of the vectorized parquet reader + codegen'd rule
@@ -333,6 +365,78 @@ def single_run(cores: int, n: int, repeats: int = 2) -> dict:
             "all_walls": r["all_secs"],
             "probe_before_sec": probe_before, "probe_after_sec": probe_after,
             **stats_box["stats"]}
+
+
+def incremental_demo(cores: int, n: int) -> dict:
+    """Day-over-day incremental re-validation over the BUCKETED layout:
+    a full materialized rule-set pass with per-bucket fingerprints
+    recorded (day 1), then an incremental pass (day 2) over an input
+    whose captions changed in ONE of 64 buckets — the 100-TB
+    daily-churn shape. The input is bucket-partitioned parquet and the
+    run sets partition_col="bucket", so the day-2 bucket filters are
+    PartitionFilters: unchanged buckets' image files are never opened.
+    Fingerprints are metadata-only (fingerprint_bytes=False) — the
+    change detector reads the narrow columns, standing in for an
+    Iceberg snapshot diff that would read nothing at all. Day 2 pays:
+    one narrow fingerprint scan + the changed bucket's full pass + the
+    global metadata rules; everything else is inherited."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from assetdatavalidationtool_spark.manifest import ValidationRun
+    from assetdatavalidationtool_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench_incr_c{cores}",
+                      driver_memory="48g")
+    img_path, cap_path = materialize_bucketed(spark, n, buckets=64)
+    warm_python_workers(spark)
+    warm_page_cache(f"{img_path}/bucket=*", f"{cap_path}/bucket=*")
+    images = spark.read.parquet(img_path)
+    captions = spark.read.parquet(cap_path)
+    out = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        probe_before = contention_probe()
+        t0 = time.time()
+        s1 = ValidationRun(
+            spark, out, build_ruleset(spark, images).rules,
+            num_buckets=64, run_id="day1", partition_col="bucket",
+        ).run(images, captions, record_fingerprints=True,
+              fingerprint_bytes=False)
+        wall_full = time.time() - t0
+        # day-2: captions of bucket 0 edited (they become caption-
+        # mismatch violations — realistic churn, not a synthetic no-op)
+        cap2 = captions.withColumn(
+            "caption",
+            F.when(F.col("bucket") == 0,
+                   F.concat(F.col("caption"), F.lit(" v2")))
+            .otherwise(F.col("caption")),
+        )
+        t0 = time.time()
+        s2 = ValidationRun(
+            spark, out, build_ruleset(spark, images).rules,
+            num_buckets=64, run_id="day2", partition_col="bucket",
+        ).run(images, cap2, incremental_from="day1",
+              fingerprint_bytes=False)
+        wall_incr = time.time() - t0
+        probe_after = contention_probe()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+    return {
+        "cores": cores, "n_images": n, "num_buckets": 64,
+        "changed_buckets": 1,
+        "wall_full_sec": round(wall_full, 2),
+        "wall_incremental_sec": round(wall_incr, 2),
+        "speedup": round(wall_full / wall_incr, 2),
+        "images_per_sec_full": round(n / wall_full, 1),
+        "images_per_sec_incremental_effective": round(n / wall_incr, 1),
+        "day1_rules_run": s1["rules_run"],
+        "day2_rules_run": s2["rules_run"],
+        "day2_buckets_inherited": s2["buckets_inherited"],
+        "probe_before_sec": probe_before, "probe_after_sec": probe_after,
+    }
 
 
 def scaling_mode() -> None:
@@ -478,6 +582,14 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling_mode()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        cores = int(sys.argv[2]) if len(sys.argv) > 2 else min(8, CPUS)
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else N_IMAGES
+        r = incremental_demo(cores, n)
+        print(json.dumps(r, separators=(",", ":")))
+        if os.environ.get("SPARK_GRAFT_NO_HISTORY") != "1":
+            _append_history({"mode": "incremental_demo", **r})
         return
 
     from assetdatavalidationtool_spark.contract import QUERIES

@@ -424,3 +424,43 @@ def test_header_consistency_is_scan_stage_only(ctx):
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read and "bytes" in read[0]
     assert "phash" not in read[0] and "caption" not in read[0]
+
+
+def test_partition_col_bucket_filter_prunes_partitions(spark, tmp_path_factory):
+    """ValidationRun(partition_col=...) turns bucket-grain filters
+    (resume / canary / incremental) into PartitionFilters on the
+    physical layout: the skipped buckets' files are never opened —
+    'read 1/64' instead of 'scan everything and throw 63/64 away'."""
+    from assetdatavalidationtool_spark.manifest import ValidationRun
+    from assetdatavalidationtool_spark.rules import RuleContext
+
+    d = tmp_path_factory.mktemp("bkt_prune")
+    df = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("image_id"),
+        F.col("id").alias("w"),
+    )
+    bkt = F.pmod(F.xxhash64(F.col("image_id")), F.lit(8)).cast("int")
+    df.withColumn("bucket", bkt).write.partitionBy("bucket").parquet(
+        str(d / "images")
+    )
+    images = spark.read.parquet(str(d / "images"))
+    run = ValidationRun(spark, str(d / "out"), [], num_buckets=8,
+                        partition_col="bucket")
+    ctx = RuleContext(spark=spark, images=images, captions=None, num_buckets=8)
+    f = run._filtered_ctx(ctx, {0, 3})
+    phys = f.images._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in phys.splitlines() if "FileScan" in l)
+    # the bucket predicate must be a PartitionFilter, NOT a DataFilter
+    assert "DataFilters: []" in scan
+    assert "PartitionFilters:" in scan and "bucket" in scan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    # identical semantics to the hash-recompute path
+    expect = images.where(
+        F.pmod(F.xxhash64(F.col("image_id")), F.lit(8)).isin(0, 3)
+    ).count()
+    assert f.images.count() == expect == 45
+    # without partition_col the same filter falls back to the hash path
+    run2 = ValidationRun(spark, str(d / "out2"), [], num_buckets=8)
+    f2 = run2._filtered_ctx(ctx, {0, 3})
+    assert f2.images.count() == expect
