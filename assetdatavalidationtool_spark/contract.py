@@ -3244,8 +3244,15 @@ def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> NULL out, matching Spark's concat), never DuckDB's NULL-skipping
 # concat().
 # ---------------------------------------------------------------------------
-_PNG_HDR_HEX = "89504E470D0A1A0A0000000D49484452"
-_PNG_IEND = "0000000049454E44AE426082"
+# Derived from the operator's constants (themselves derived from
+# codecs.py) — the fixture cannot desynchronize from the parser it
+# exercises. PNG header = signature + IHDR chunk length (13) + tag.
+from .operators.images import _PNG_IEND_HEX as _PNG_IEND
+from .operators.images import _PNG_SIG_HEX as _FIX_PNG_SIG
+from .operators.images import _STUB_MAGIC_HEX as _FIX_STUB
+
+_PNG_HDR_HEX = _FIX_PNG_SIG + "0000000D49484452"
+_STUB_JPEG, _STUB_WEBP = _FIX_STUB["jpeg"], _FIX_STUB["webp"]
 _HEADER_CONSISTENCY_SQL = f"""
     WITH meta AS (
       SELECT k, 'img_' || CAST(k AS VARCHAR) AS image_id,
@@ -3264,17 +3271,17 @@ _HEADER_CONSISTENCY_SQL = f"""
           WHEN 'png' THEN '{_PNG_HDR_HEX}'
             || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0')
             || CASE WHEN k % 31 = 0 THEN '' ELSE '{_PNG_IEND}' END
-          WHEN 'jpeg' THEN '514A5047'
+          WHEN 'jpeg' THEN '{_STUB_JPEG}'
             || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0') || '08'
-          WHEN 'webp' THEN '51574250'
+          WHEN 'webp' THEN '{_STUB_WEBP}'
             || lpad(to_hex(hw), 8, '0') || lpad(to_hex(h), 8, '0') || '08'
           ELSE '474946383961' END AS hx
       FROM planted
     ), parsed AS (
       SELECT image_id, w, h, fmt, hx,
         CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
-             WHEN substring(hx, 1, 8) = '514A5047' THEN 'jpeg'
-             WHEN substring(hx, 1, 8) = '51574250' THEN 'webp' END AS hdr_fmt
+             WHEN substring(hx, 1, 8) = '{_STUB_JPEG}' THEN 'jpeg'
+             WHEN substring(hx, 1, 8) = '{_STUB_WEBP}' THEN 'webp' END AS hdr_fmt
       FROM built
     ), dims AS (
       SELECT *,
@@ -3338,8 +3345,8 @@ def _header_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(kk % 31 == 0, F.lit("")).otherwise(F.lit(_PNG_IEND)),
             ),
         )
-        .when(F.col("hfmt") == "jpeg", F.concat(F.lit("514A5047"), dims_hex, F.lit("08")))
-        .when(F.col("hfmt") == "webp", F.concat(F.lit("51574250"), dims_hex, F.lit("08")))
+        .when(F.col("hfmt") == "jpeg", F.concat(F.lit(_STUB_JPEG), dims_hex, F.lit("08")))
+        .when(F.col("hfmt") == "webp", F.concat(F.lit(_STUB_WEBP), dims_hex, F.lit("08")))
         .otherwise(F.lit("474946383961"))
     )
     return planted.select(

@@ -58,7 +58,7 @@ FINGERPRINT_SCHEMA = "bucket long, side string, n_rows long, fp string"
 
 
 def bucket_fingerprints(
-    ctx: RuleContext, include_bytes: bool = True
+    ctx: RuleContext, include_bytes: bool = True, extra_meta: str = ""
 ) -> DataFrame:
     """Per-bucket content fingerprints of the run's input — the change
     detector behind incremental re-validation (``incremental_from``).
@@ -90,7 +90,13 @@ def bucket_fingerprints(
         if df is None:
             continue
         cols = sorted(c for c in df.columns if include_bytes or c != "bytes")
-        h = F.xxhash64(*[F.col(c) for c in cols])
+        # xxhash64 SKIPS null inputs, so (w=512, h=NULL) and
+        # (w=NULL, h=512) would hash identically — exactly the
+        # column-swap corruption validation exists to catch. Appending
+        # the null-pattern flags (never null themselves) breaks the
+        # symmetry: the values still skip, the flags differ.
+        null_flags = [F.col(c).isNull().cast("int") for c in cols]
+        h = F.xxhash64(*[F.col(c) for c in cols], *null_flags)
         parts.append(
             ctx.with_bucket(df)
             .groupBy("bucket")
@@ -108,7 +114,8 @@ def bucket_fingerprints(
             "_meta",
             ctx.num_buckets,
             f"key={ctx.key_col}|bytes={int(include_bytes)}"
-            f"|custom_bucket={int(ctx.bucket_expr is not None)}",
+            f"|custom_bucket={int(ctx.bucket_expr is not None)}"
+            f"{extra_meta}",
         )],
         FINGERPRINT_SCHEMA,
     )
@@ -312,7 +319,22 @@ class ValidationRun:
         }
         fp_rows = None
         if incremental_from is not None or record_fingerprints:
-            fp_rows = bucket_fingerprints(ctx, fingerprint_bytes).collect()
+            # rule-set signature pins WHAT was validated, not just what
+            # was read: rule names alone ("header_consistency", "gate")
+            # carry no parameters, so a day-2 config change (tightened
+            # threshold, disabled truncation check) would otherwise
+            # silently inherit day-1 results computed under the OLD
+            # config. Every rule is a dataclass — reprs are stable for
+            # the same code + config; any repr drift merely disables
+            # inheritance, the safe direction.
+            import hashlib
+
+            rules_sig = hashlib.md5(
+                "|".join(sorted(repr(r) for r in self.rules)).encode()
+            ).hexdigest()[:16]
+            fp_rows = bucket_fingerprints(
+                ctx, fingerprint_bytes, extra_meta=f"|rules={rules_sig}"
+            ).collect()
         if incremental_from is not None:
             unchanged = self._unchanged_buckets(fp_rows, incremental_from)
             if unchanged:
@@ -499,14 +521,45 @@ class ValidationRun:
             inh = [b for b in inh if b in have]
             if not inh:
                 continue
+            # Which violation rows travel with these verdicts?
+            # * global rule: ALL of them — its violations carry real
+            #   bucket values (e.g. salted uniqueness buckets by its own
+            #   key) even though the verdict unit is -1, and it only
+            #   inherits when the whole input is unchanged.
+            # * aligned rule: the inherited buckets, PLUS the bucket=-1
+            #   partition (table-level rows like SchemaRule's
+            #   'unexpected column', which have no per-bucket verdict)
+            #   when inheritance covers the rule entirely — a partial
+            #   inherit leaves -1 to the recompute leg, which re-derives
+            #   table-level checks from the (unchanged) schema; copying
+            #   it there could go stale if day-2 fixed the schema.
+            vio_filter = None
+            if aligned:
+                full = (done.get(rule.name, set()) | set(inh)) >= all_buckets
+                vio_filter = F.col("bucket").isin(
+                    list(inh) + ([-1] if full else [])
+                )
+            vio_df = None
             try:
-                vio = self.spark.read.parquet(
+                vio_df = self.spark.read.parquet(
                     f"{self.out}/violations/run_id={base_run_id}/rule={rule.name}"
-                ).where(F.col("bucket").isin(inh))
-                self._write_partitioned(vio, rule.name)
+                )
+                if vio_filter is not None:
+                    vio_df = vio_df.where(vio_filter)
             except AnalysisException as e:
                 if not _missing(e):
                     raise  # unreadable ≠ clean: do not drop violations
+            total_v = sum(
+                int(r["violation_count"]) for r in vrows
+                if int(r["bucket"]) in set(inh)
+            )
+            if vio_df is None and total_v > 0:
+                # the verdicts vouch for violations whose rows are gone
+                # (partial cleanup / expiry race) — inheriting would
+                # leave split()/quarantine blind to known-bad rows
+                continue
+            if vio_df is not None:
+                self._write_partitioned(vio_df, rule.name)
             self._write_partitioned(
                 verd.where(F.col("bucket").isin(inh)),
                 rule.name, kind="verdicts",

@@ -322,12 +322,25 @@ def exact_duplicates(
 # the encode_png / encode_stub_lossy layouts).
 # ---------------------------------------------------------------------------
 
-_PNG_SIG_HEX = "89504E470D0A1A0A"          # codecs.PNG_SIG
-_STUB_MAGIC_HEX = {"jpeg": "514A5047",     # codecs.STUB_MAGIC  b"QJPG"
-                   "webp": "51574250"}     #                    b"QWBP"
+# DERIVED from codecs.py (the byte-level source of truth), not
+# hand-copied — a codec layout change cannot silently desynchronize
+# the header screen.
+from ..codecs import PNG_SIG as _PNG_SIG, STUB_MAGIC as _STUB_MAGIC
+
+_PNG_SIG_HEX = _PNG_SIG.hex().upper()
+_STUB_MAGIC_HEX = {k: v.hex().upper() for k, v in _STUB_MAGIC.items()}
 # 12-byte PNG trailer: len=0 + "IEND" + CRC32("IEND") — every complete
 # PNG stream ends with exactly these bytes (ISO/IEC 15948 §5.6)
-_PNG_IEND_HEX = "0000000049454E44AE426082"
+import struct as _struct
+import zlib as _zlib
+
+_PNG_IEND_HEX = (
+    _struct.pack(">I", 0) + b"IEND"
+    + _struct.pack(">I", _zlib.crc32(b"IEND") & 0xFFFFFFFF)
+).hex().upper()
+# minimum payload length whose embedded dims are fully present:
+# PNG = 8 sig + 4 len + 4 "IHDR" + 8 dims; stub = 4 magic + 8 dims
+_MIN_HDR_LEN = {"png": 24, "stub": 12}
 
 # first-failing-reason order, same contract as GATE_ORDER: a row with
 # several problems reports the FIRST one here
@@ -358,12 +371,16 @@ def _header_exprs(b: F.Column) -> tuple[F.Column, F.Column, F.Column]:
         .when(magic4 == _STUB_MAGIC_HEX["webp"], F.lit("webp"))
     )
     is_png = magic8 == _PNG_SIG_HEX
-    hdr_w = F.when(is_png, _be_uint(b, 17, 4)).when(
-        hdr_fmt.isNotNull(), _be_uint(b, 5, 4)
-    )
-    hdr_h = F.when(is_png, _be_uint(b, 21, 4)).when(
-        hdr_fmt.isNotNull(), _be_uint(b, 9, 4)
-    )
+    # length guards: a payload cut INSIDE its dims field would otherwise
+    # hex a partial slice into a garbage-but-non-NULL integer (conv of
+    # 2 bytes -> 0), misclassifying a damaged payload as dims_mismatch
+    # against perfectly good metadata. Short payload = NULL dims =
+    # unreadable_header, the documented contract.
+    blen = F.length(b)
+    png_ok = is_png & (blen >= _MIN_HDR_LEN["png"])
+    stub_ok = hdr_fmt.isNotNull() & ~is_png & (blen >= _MIN_HDR_LEN["stub"])
+    hdr_w = F.when(png_ok, _be_uint(b, 17, 4)).when(stub_ok, _be_uint(b, 5, 4))
+    hdr_h = F.when(png_ok, _be_uint(b, 21, 4)).when(stub_ok, _be_uint(b, 9, 4))
     return hdr_fmt, hdr_w, hdr_h
 
 

@@ -724,3 +724,71 @@ def test_incremental_guards_disable_inheritance(spark, data, tmp_path_factory):
     with _pytest.raises(ValueError, match="canary"):
         ValidationRun(spark, out, rules, num_buckets=8, run_id="b7").run(
             images, captions, sample_buckets=2, incremental_from="b3")
+
+
+def test_incremental_inherits_table_level_and_guards(spark, data, tmp_path_factory):
+    """Review fixes, all four in one layout: (a) bucket=-1 table-level
+    violations (SchemaRule 'unexpected column') survive a full inherit;
+    (b) a global rule's real-bucket violation rows survive its -1-unit
+    inherit; (c) a changed rule CONFIG disables inheritance even on
+    identical input; (d) verdicts whose violation rows were deleted
+    refuse to inherit (recompute instead of vouching for missing data)."""
+    import shutil as _sh
+
+    from assetdatavalidationtool_spark.rules import SchemaRule, UniquenessRule
+    from assetdatavalidationtool_spark.rules.schema import ColumnSpec
+
+    out = str(tmp_path_factory.mktemp("run_incr_tbl"))
+    images, captions = data
+
+    def rules(max_w=10_000):
+        return [
+            # declares only image_id => every other column is an
+            # 'unexpected column' table-level (-1) violation
+            SchemaRule([ColumnSpec("image_id", "string", nullable=False,
+                                   domain=F.length("image_id") < max_w)]),
+            UniquenessRule(["image_id"]),          # aligned
+            UniquenessRule(["phash"], salted=True),  # GLOBAL, real buckets
+        ]
+
+    base = ValidationRun(spark, out, rules(), num_buckets=8, run_id="t1")
+    base.run(images, captions, record_fingerprints=True)
+    want = _vio_set(base)
+    assert any(b == "schema" and "unexpected column" in d for b, _, d in want)
+    assert any(b == "uniqueness(phash)" for b, _, d in want)
+
+    # (a)+(b): identical input, full inherit — violations identical
+    r2 = ValidationRun(spark, out, rules(), num_buckets=8, run_id="t2")
+    s2 = r2.run(images, captions, incremental_from="t1")
+    assert s2["rules_run"] == 0
+    assert _vio_set(r2) == want
+
+    # (c): same input, different rule config -> no inheritance at all
+    r3 = ValidationRun(spark, out, rules(max_w=5), num_buckets=8, run_id="t3")
+    s3 = r3.run(images, captions, incremental_from="t2")
+    assert s3["buckets_inherited"] == 0 and s3["rules_run"] == 3
+
+    # (d): base verdicts vouch for violations whose rows were deleted
+    _sh.rmtree(f"{out}/violations/run_id=t1/rule=uniqueness(phash)")
+    r4 = ValidationRun(spark, out, rules(), num_buckets=8, run_id="t4")
+    s4 = r4.run(images, captions, incremental_from="t1")
+    # the damaged global rule recomputed; everything else inherited
+    assert s4["rules_run"] == 1
+    assert _vio_set(r4) == want
+
+
+def test_fingerprint_null_swap_detected(spark):
+    """(w=512, h=NULL) -> (w=NULL, h=512) must change the bucket
+    fingerprint: xxhash64 skips nulls, so without the null-pattern
+    flags the swap hashes identically and the corrupted bucket would
+    be inherited."""
+    from assetdatavalidationtool_spark.manifest import bucket_fingerprints
+    from assetdatavalidationtool_spark.rules import RuleContext
+
+    a = spark.createDataFrame([("k1", 512, None)], "image_id string, w int, h int")
+    b = spark.createDataFrame([("k1", None, 512)], "image_id string, w int, h int")
+    fa = {(r["side"], r["bucket"]): r["fp"] for r in bucket_fingerprints(
+        RuleContext(spark=spark, images=a, captions=None, num_buckets=4)).collect()}
+    fb = {(r["side"], r["bucket"]): r["fp"] for r in bucket_fingerprints(
+        RuleContext(spark=spark, images=b, captions=None, num_buckets=4)).collect()}
+    assert fa != fb

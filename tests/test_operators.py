@@ -1606,6 +1606,10 @@ def test_header_consistency_real_payloads(spark):
         ("no_bytes", png["w"], png["h"], "png", None),
         ("garbage", png["w"], png["h"], "png", bytearray(b"notanimage__")),
         ("sig_only", png["w"], png["h"], "png", bytearray(png["bytes"][:18])),
+        # cut INSIDE the dims field: a partial slice must not parse
+        # into a garbage int and masquerade as dims_mismatch
+        ("short_stub", stub["w"], stub["h"], stub["fmt"],
+         bytearray(stub["bytes"][:10])),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w long, h long, fmt string, bytes binary"
@@ -1621,6 +1625,7 @@ def test_header_consistency_real_payloads(spark):
         "no_bytes": "unreadable_header",
         "garbage": "unreadable_header",
         "sig_only": "unreadable_header",
+        "short_stub": "unreadable_header",
     }
     assert {k: v["reason"] for k, v in got.items()} == expect
     assert all(got[k]["consistent"] == (v is None) for k, v in expect.items())
