@@ -262,7 +262,11 @@ class ValidationRun:
         which is what makes this exact rather than approximate).
 
         ``incremental_from=<base_run_id>`` makes this an INCREMENTAL
-        re-validation: per-bucket input fingerprints (see
+        re-validation — the scale path the reference lacks: it re-runs
+        the full in-memory compare on every invocation
+        (`src/Forms/MainForm.cs` -> `src/Services/Validator.cs:20-30`), which
+        is fine at 10^4 rows and impossible at 10^12. Per-bucket input
+        fingerprints (see
         :func:`bucket_fingerprints`) are compared against the base
         run's recorded ones, and every bucket whose input is unchanged
         on EVERY side inherits the base run's materialized violations
