@@ -40,19 +40,24 @@ def sessionize(
     # a DST transition would get gap arithmetic off by the offset jump.
     # Field arithmetic (unix_date + time-of-day) maps the naive value
     # to micros identically in every session timezone.
-    ts_us = F.expr(
+    ts_us_expr = F.expr(
         f"unix_date(cast({ts_col} as date)) * 86400000000"
         f" + cast(hour({ts_col}) * 3600 + minute({ts_col}) * 60"
         f"        as bigint) * 1000000"
         f" + cast(date_part('SECOND', {ts_col}) * 1000000 as bigint)"
     )
+    # stage the epoch-micros arithmetic once per row (r6): inlining it
+    # into lag() and the gap predicate evaluated the five-function
+    # date tree three times per row
+    ts_us = F.col("_ts_us")
     prev_us = F.lag(ts_us).over(w)
     is_new = F.when(
         prev_us.isNull() | ((ts_us - prev_us) > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        df.withColumn("_new", is_new)
+        df.withColumn("_ts_us", ts_us_expr)
+        .withColumn("_new", is_new)
         .withColumn("session_seq", F.sum("_new").over(wcum))
         .groupBy(F.col(user_col).alias("user_id"), "session_seq")
         .agg(

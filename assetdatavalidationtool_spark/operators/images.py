@@ -447,7 +447,11 @@ def header_consistency(
     header.
     """
     b = F.col(bytes_col)
-    hdr_fmt, hdr_w, hdr_h = _header_exprs(b)
+    hdr_fmt_e, hdr_w_e, hdr_h_e = _header_exprs(b)
+    # stage the header parse once per row (r6): the reason CASE chain
+    # referenced each hdr_* expression up to four times, re-inlining
+    # the hex/substring/conv trees per reference
+    hdr_fmt, hdr_w, hdr_h = F.col("hdr_fmt"), F.col("hdr_w"), F.col("hdr_h")
     unreadable = hdr_fmt.isNull() | hdr_w.isNull() | hdr_h.isNull()
     fmt_mismatch = ~F.lower(F.col("fmt")).eqNullSafe(hdr_fmt)
     dims_mismatch = ~F.col("w").cast("long").eqNullSafe(hdr_w) | ~F.col(
@@ -456,19 +460,23 @@ def header_consistency(
     reason = F.when(unreadable, "unreadable_header").when(
         fmt_mismatch, "format_mismatch"
     ).when(dims_mismatch, "dims_mismatch")
+    staged_cols = [
+        hdr_fmt_e.alias("hdr_fmt"), hdr_w_e.alias("hdr_w"),
+        hdr_h_e.alias("hdr_h"),
+    ]
     if check_truncation:
         # hex only the last 12 bytes (negative offset = from the end)
-        trailer = F.hex(F.substring(b, -12, 12))
         reason = reason.when(
-            (hdr_fmt == "png") & (trailer != _PNG_IEND_HEX),
+            (hdr_fmt == "png") & (F.col("_trailer") != _PNG_IEND_HEX),
             "truncated_payload",
         )
+        staged_cols.append(F.hex(F.substring(b, -12, 12)).alias("_trailer"))
     reason = reason.otherwise(F.lit(None).cast("string"))
-    # ONE narrow projection straight off the source relation: the
-    # payload is consumed by substring right where it is read, so
-    # nothing wider than these six columns leaves the scan stage
-    return df.select(
+    # the payload is consumed by substring in the staging projection
+    # right where it is read, so nothing wider than these columns
+    # leaves the scan stage
+    return df.select(id_col, "w", "h", "fmt", *staged_cols).select(
         id_col,
-        hdr_fmt.alias("hdr_fmt"), hdr_w.alias("hdr_w"), hdr_h.alias("hdr_h"),
+        "hdr_fmt", "hdr_w", "hdr_h",
         reason.isNull().alias("consistent"), reason.alias("reason"),
     )

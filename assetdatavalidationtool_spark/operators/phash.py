@@ -12,16 +12,24 @@ Algorithm: **bit-band LSH with a pigeonhole exactness guarantee.**
 Split the 64-bit hash into ``bands`` contiguous bit-bands. Two hashes
 within Hamming distance ``max_hamming`` differ in at most
 ``max_hamming`` bit positions, so when ``max_hamming < bands`` at least
-one band is bit-identical (pigeonhole). Equi-joining on
+one band is bit-identical (pigeonhole). Grouping on
 ``(band_index, band_value)`` therefore finds EVERY pair within the
 radius — this is not an approximation like MinHash banding; the final
 ``bit_count(a XOR b) <= max_hamming`` filter only removes false
-candidates, never true pairs.
+candidates, never true pairs. Candidate enumeration is a bucket
+self-join whose two sides dedupe into ONE shuffle (ReusedExchange);
+the popcount predicate sits first in the join condition so the long
+xor rejects most candidates before any string work. (r6 note: an
+in-bucket collect_list + array-HOF enumeration was tried and measured
+5.7x SLOWER than the codegen'd join — interpreted per-element lambda
+overhead dwarfs the join machinery; see OPTIMIZATION_r06.md.)
 
 Scale design (what matters at 10^12 rows):
 
-* The only shuffle is the band-bucket exchange — ``bands`` rows per
-  image (tiny ints, the image bytes never enter this plan).
+* The only wide shuffle is the band-bucket exchange — ``bands`` rows
+  per image (tiny ints, the image bytes never enter this plan); the
+  mega-bucket guard's count aggregate shuffles one row per distinct
+  bucket key (map-side partial aggregation).
 * Hot buckets: real pHash corpora cluster (flat-color images, test
   cards share hashes; our synthetic table clusters the top byte by
   fmt/size on purpose). A bucket of b rows emits b² candidate pairs, so
@@ -95,9 +103,22 @@ def phash_neardup_pairs(
             f"pigeonhole exactness needs max_hamming < bands "
             f"(got hamming {max_hamming}, bands {bands})"
         )
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def bandv(col: F.Column, b: int) -> F.Column:
+        return F.shiftrightunsigned(col, b * width).bitwiseAND(F.lit(mask))
+
     banded = phash_bands(df, id_col, phash_col, bands)
 
+    hot_flags: list[str] = []
     if max_bucket_size is not None:
+        # mega-bucket guard, as a count aggregate (map-side partial →
+        # the exchange carries one row per distinct bucket key, not per
+        # image) + broadcast anti-join, exactly as before. Additionally
+        # each surviving row gets per-band hotness flags (h0..h{k-1}:
+        # "is MY band-b' bucket hot?") via broadcast left joins — the
+        # first-kept-shared-band predicate below needs them.
         hot = (
             banded.groupBy("band", "bval")
             .count()
@@ -105,16 +126,53 @@ def phash_neardup_pairs(
             .select("band", "bval")
         )
         banded = banded.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+        for bi in range(bands - 1):  # only bands below the last are probed
+            hb = hot.where(F.col("band") == bi).select(
+                F.col("bval").alias(f"_hv{bi}"), F.lit(True).alias(f"h{bi}")
+            )
+            banded = banded.join(
+                F.broadcast(hb),
+                bandv(F.col(phash_col), bi) == F.col(f"_hv{bi}"),
+                "left",
+            ).drop(f"_hv{bi}")
+            hot_flags.append(f"h{bi}")
 
+    # Deduplicate emissions at the SOURCE: a pair within the radius can
+    # share several bands and the old plan emitted it once per shared
+    # band (3x the rows at sf1.0), leaning on the final distinct to
+    # collapse them. Emit instead only from the FIRST band that is both
+    # shared and kept: at band k the pair must differ in every smaller
+    # band b' — or that b' bucket must be hot (dropped), in which case
+    # b' could not have emitted it. Provably the same result set: any
+    # pair emitted here was emitted by the old plan (same bucket, same
+    # filters), and any old pair is emitted exactly once here (by its
+    # smallest kept shared band). The distinct stays as the contract
+    # for duplicate-id inputs, but now sees ~3x fewer rows.
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism * 4, "band", "bval"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(
         F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
     )
+    first_band = F.lit(True)
+    for bi in range(bands - 1):
+        differ = bandv(F.col(f"a.{phash_col}"), bi) != bandv(
+            F.col(f"b.{phash_col}"), bi
+        )
+        if max_bucket_size is not None:
+            differ = differ | F.coalesce(F.col(f"a.h{bi}"), F.lit(False))
+        first_band = F.when(
+            F.col("band") <= bi, first_band
+        ).otherwise(first_band & differ)
     return (
         a.join(b, ["band", "bval"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # cheapest predicates first: long xor+popcount, then the
+        # integer band comparison, string ids last
         .where(ham <= max_hamming)
+        .where(first_band)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("image_a"),
             F.col(f"b.{id_col}").alias("image_b"),

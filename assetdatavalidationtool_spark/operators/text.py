@@ -42,27 +42,39 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``n_bpe_pieces`` approximates a BPE tokenizer's piece count with the
     classic GPT-2 pre-tokenizer regex family: words + digits + punct
     runs (a cheap, deterministic proxy for budget estimation)."""
-    df = spread_small_scan(df)
     t = F.col(text_col)
-    toks = _tokens(t)
     # pieces = maximal alphanumeric runs + maximal non-space punctuation
     # runs (regex-engine-portable: no lookarounds, mirrors in RE2/DuckDB)
     low = F.lower(t)
     alnum_runs = F.size(F.filter(F.split(low, r"[^a-z0-9]+"), lambda p: p != ""))
     other_runs = F.size(F.filter(F.split(low, r"[a-z0-9]+"), lambda p: F.trim(p) != ""))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(t).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        (alnum_runs + other_runs).alias("n_bpe_pieces"),
-        F.round(
-            F.when(
-                F.size(toks) > 0,
-                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-                / F.size(toks),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("avg_token_len"),
+    # tokenize-once staging: every split lands in its own alias so the
+    # final projection reads attributes instead of re-inlining the
+    # regex trees (the n_tokens/avg_token_len exprs referenced the
+    # token split three times each in the old single-projection form)
+    tk = F.col("tk")
+    return (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(t).alias("n_chars"),
+            _tokens(t).alias("tk"),
+            (alnum_runs + other_runs).alias("n_bpe_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(tk).alias("n_tokens"),
+            "n_bpe_pieces",
+            F.round(
+                F.when(
+                    F.size(tk) > 0,
+                    F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+                    / F.size(tk),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("avg_token_len"),
+        )
     )
 
 
@@ -72,29 +84,56 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality ∈ [0,1]: a deterministic blend of length band, stopword
     presence, and punctuation/digit moderation — the usual cheap
     pre-filter in corpus pipelines."""
-    df = spread_small_scan(df)
     t = F.col(text_col)
-    toks = _tokens(t)
-    n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    punct_ratio = F.round(_count_matches(t, r"[^\w\s]") / F.greatest(F.length(t), F.lit(1)), 4)
-    digit_ratio = F.round(_count_matches(t, r"[0-9]") / F.greatest(F.length(t), F.lit(1)), 4)
-    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
-    length_band = F.when((F.length(t) >= 100) & (F.length(t) <= 20000), 1.0).otherwise(0.4)
+    n_stop = F.size(
+        F.filter(F.col("tk"), lambda x: F.array_contains(stop_arr, x))
+    )
+    # tokenize-once staging: the split and both regexp_replace counters
+    # are aliased in the first projection; the quality blend then reads
+    # the pre-rounded ratio attributes (the old single-projection form
+    # re-inlined each ratio's regex tree into the blend — every regex
+    # ran twice per row)
+    punct_ratio = F.round(
+        F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 4
+    )
+    digit_ratio = F.round(
+        F.col("n_digit") / F.greatest(F.col("n_chars"), F.lit(1)), 4
+    )
+    stop_ratio = F.round(n_stop / F.greatest(F.size(F.col("tk")), F.lit(1)), 4)
+    length_band = F.when(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000), 1.0
+    ).otherwise(0.4)
     quality = F.round(
         length_band * 0.4
-        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
-        + (1.0 - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
-        + (1.0 - F.least(digit_ratio * F.lit(5.0), F.lit(1.0))) * 0.1,
+        + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * F.lit(5.0), F.lit(1.0))) * 0.1,
         4,
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+    return (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(t).alias("n_chars"),
+            _tokens(t).alias("tk"),
+            _count_matches(t, r"[^\w\s]").alias("n_punct"),
+            _count_matches(t, r"[0-9]").alias("n_digit"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            punct_ratio.alias("punct_ratio"),
+            digit_ratio.alias("digit_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+        )
+        .select(
+            "doc_id",
+            "punct_ratio",
+            "digit_ratio",
+            "stopword_ratio",
+            quality.alias("quality"),
+        )
     )
 
 
@@ -103,23 +142,41 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hits per language lexicon, argmax with deterministic ties (lexicon
     order). A real pipeline swaps in fastText/CLD3; the dataflow shape
     (narrow scan, no shuffle) is what matters at scale."""
-    df = spread_small_scan(df)
-    toks = _tokens(F.col(text_col))
     langs = list(LANG_MARKERS)
+    # tokenize-once staging: split → per-lexicon hit counts → argmax,
+    # each as its own projection so no expensive alias (the split, the
+    # five lexicon scans) is ever re-inlined by CollapseProject. The old
+    # single-projection form re-evaluated the split inside every
+    # lexicon filter AND re-evaluated every hit count in greatest() and
+    # again per CASE branch — ~20 split evaluations per row.
     hits = {}
     for lang in langs:
         arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        hits[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-    best_hits = F.greatest(*hits.values())
+        hits[lang] = F.size(
+            F.filter(F.col("tk"), lambda x: F.array_contains(arr, x))
+        )
+    best_hits = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
     # first lexicon in fixed order with the max hit count wins the tie —
     # an explicit CASE chain, mirrored verbatim in the SQL oracle
-    pred = F.when(best_hits <= 0, F.lit("unknown"))
+    pred = F.when(F.col("best") <= 0, F.lit("unknown"))
     for lang in langs:
-        pred = pred.when(hits[lang] == best_hits, F.lit(lang))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        best_hits.alias("marker_hits"),
+        pred = pred.when(F.col(f"h_{lang}") == F.col("best"), F.lit(lang))
+    return (
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk"))
+        .select(
+            "doc_id", *[hits[lang].alias(f"h_{lang}") for lang in langs]
+        )
+        .select(
+            "doc_id",
+            *[f"h_{lang}" for lang in langs],
+            best_hits.alias("best"),
+        )
+        .select(
+            "doc_id",
+            pred.alias("pred_lang"),
+            F.col("best").alias("marker_hits"),
+        )
     )
 
 
@@ -206,22 +263,27 @@ def chunk_tokens(
     chunk may be short; documents shorter than one chunk yield exactly
     one chunk. The explode is a narrow per-row transformation (no
     shuffle); downstream packing groups by target sequence length."""
-    toks = _tokens(F.col(text_col))
+    # tokenize-once staging: materialize the split as ``tk`` so the
+    # chunk-count arithmetic and the per-chunk slice read an attribute
+    # (the old form re-inlined the split into every slice — one full
+    # re-tokenization per CHUNK)
+    tk = F.col("tk")
     n_chunks = F.when(
-        F.size(toks) <= chunk_size, F.lit(1)
+        F.size(tk) <= chunk_size, F.lit(1)
     ).otherwise(
-        F.ceil((F.size(toks) - F.lit(chunk_size)) / F.lit(stride)) + 1
+        F.ceil((F.size(tk) - F.lit(chunk_size)) / F.lit(stride)) + 1
     ).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.alias("chunk_id"),
-            F.slice(toks, i * stride + 1, chunk_size).alias("ctoks"),
+            F.slice(tk, i * stride + 1, chunk_size).alias("ctoks"),
         ),
     )
     return (
         spread_small_scan(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk"))
+        .select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_id").alias("chunk_id"),
@@ -239,17 +301,19 @@ def repetition_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     dup_frac = 1 − |distinct occurrences| / |occurrences| — 0.0 for a
     document with no repeats and for degenerate docs too short to form
-    an n-gram. Pure Column expressions (split/transform/array_distinct):
-    a narrow projection, no shuffle, no Python.
+    an n-gram. Pure Column expressions, no shuffle, no Python.
+
+    Tokenize-once discipline: the regex split is materialized as its
+    own projection (``tk``) and the 2-grams as another (``grams``), so
+    every downstream reference reads an attribute instead of
+    re-inlining the split tree. The old single-projection form
+    re-evaluated the full split inside the gram-builder's HOF lambda —
+    O(n_tokens) splits per row, O(n²) regex work (~8 ms/doc, 21% of
+    the whole r5 suite). Catalyst keeps the stages separate because
+    CollapseProject never inlines a non-cheap alias referenced more
+    than once; the 2-gram build is a zip_with over the materialized
+    array — O(n) with no re-split.
     """
-    toks = _tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
     def dup_frac(arr: F.Column) -> F.Column:
         total = F.size(arr)
@@ -258,11 +322,25 @@ def repetition_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(1.0 - F.size(F.array_distinct(arr)) / total, 4),
         ).otherwise(F.lit(0.0))
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        dup_frac(toks).alias("dup_token_frac"),
-        dup_frac(grams).alias("dup_2gram_frac"),
+    tk = F.col("tk")
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk"))
+        .select("doc_id", "tk", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size(tk).alias("n_tokens"),
+            dup_frac(tk).alias("dup_token_frac"),
+            dup_frac(F.col("grams")).alias("dup_2gram_frac"),
+        )
     )
 
 

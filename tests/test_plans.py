@@ -211,13 +211,22 @@ def test_phash_neardup_scan_excludes_everything_but_keys(spark):
 def test_phash_self_join_reuses_shuffle(spark):
     """The band self-join's two sides are identical subplans and must
     collapse into ONE shuffle via ReusedExchange — otherwise the band
-    build (the entire data volume at 10^12 rows) runs twice."""
+    build (the entire data volume at 10^12 rows) runs twice. The cheap
+    popcount predicate must run before the string id comparison in the
+    join condition (r6: condition order reversed)."""
     df = QUERIES["phash_neardup"].fn(spark, SF)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     final = executed.split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+    # popcount predicate precedes the string id comparison in the join
+    # condition (evaluation is left-to-right)
+    cond = [l for l in final.splitlines()
+            if "Join" in l and "bit_count" in l]
+    assert cond and all(
+        l.index("bit_count") < l.index("image_id") for l in cond
+    ), "popcount predicate should precede the id comparison"
 
 
 def test_image_gate_and_aspect_are_scan_stage(spark):
