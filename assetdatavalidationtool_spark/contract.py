@@ -3203,7 +3203,7 @@ def q_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("image_caption_stats", _CAPTION_STATS_SQL)
 def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.images import aspect_bucket_expr
-    from .operators.text import _tokens
+    from .operators.text import _token_count
 
     k = F.col("o_orderkey").cast("long")
     m = _t(spark, sf_dir, "orders").select(
@@ -3217,9 +3217,11 @@ def q_image_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_orderkey AS BIGINT) % 7 AS INT)))"
         ).alias("caption"),
     )
+    # r6: regexp_count instead of size(split-filter) — identical token
+    # count (see operators.text._token_count), no array materialization
     t = m.select(
         aspect_bucket_expr().alias("bucket"),
-        F.size(_tokens(F.col("caption"))).alias("n_toks"),
+        _token_count(F.col("caption")).alias("n_toks"),
     )
     return t.groupBy("bucket").agg(
         F.count("*").alias("n_pairs"),

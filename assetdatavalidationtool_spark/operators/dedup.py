@@ -146,13 +146,22 @@ def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", tk)))
-    return (
+    sh = (
         spread_small_scan(df)
         .select(F.col(id_col).alias("doc_id"), _tokenize(F.col(text_col)).alias("tk"))
         .select("doc_id", F.explode(grams).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
+    # Pin the distinct's partition count (r6): shingle rows are narrow
+    # and compress hard, so AQE's size-based coalescing collapses the
+    # distinct — and every downstream map-side stage that inherits its
+    # partitioning (similarity joins, containment join + pair
+    # aggregates) — to 1-2 tasks, serializing the CPU-heavy part of
+    # every shingle consumer (measured: 3 single-task stages totalling
+    # ~17 s inside corpus_contamination at sf1.0). Partition count
+    # derives from the cluster's core count, not a constant.
+    par = sh.sparkSession.sparkContext.defaultParallelism * 4
+    return sh.repartition(par, "doc_id", "shingle").dropDuplicates()
 
 
 def ngram_jaccard_pairs(
@@ -286,18 +295,17 @@ def connected_components(
     (from LSH / Jaccard / SimHash) into dedup GROUPS: keep one doc per
     cluster, drop the rest.
 
-    Algorithm: iterative min-label propagation — ``label(v) ← min(
-    label(v), min over neighbors u of label(u))`` until fixpoint. Each
-    iteration is one equi-join + one aggregate, both on the node key,
-    so Spark reuses the hash partitioning across iterations. Duplicate
-    graphs have tiny diameter (near-dup clusters are dense), so the
-    loop converges in a handful of rounds; ``max_iterations`` is a
-    hard cap and non-convergence raises rather than returning a wrong
-    answer. At 10^12-edge scale the same loop applies after one
-    structural change — alternate large-star/small-star contraction
-    steps (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") to halve the diameter per round; the per-iteration
-    dataflow (join + min-aggregate) is identical.
+    Algorithm (r6): large-star contraction rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — window-min per
+    node, components preserved, cliques collapse to stars in one round
+    and chain diameters roughly halve per round, so high-diameter
+    graphs converge in O(log n) total rounds), then iterative
+    min-label propagation — ``label(v) ← min(label(v), min over
+    neighbors u of label(u))`` — over the contracted edge set until
+    fixpoint. Each propagation iteration is one equi-join + one
+    aggregate on the node key over edges cached hash-partitioned on
+    that key. ``max_iterations`` caps the propagation loop and
+    non-convergence raises rather than returning a wrong answer.
 
     Lineage discipline: the label table is CHECKPOINTED to parquet every
     iteration and re-read, so each iteration's logical plan has constant
@@ -323,7 +331,17 @@ def connected_components(
     spark = pairs.sparkSession
     e_fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
     e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
-    edges = e_fwd.unionByName(e_rev).distinct().persist()
+    # r6: no edge distinct — every upstream pair source here emits
+    # distinct (a<b) pairs already, so fwd∪rev is distinct by
+    # construction, and both contraction and min-label propagation are
+    # idempotent over duplicate edges (identical labels either way; a
+    # caller passing heavily duplicated pairs only pays proportionally
+    # more first-round volume). Persist HASH-PARTITIONED on esrc with a
+    # pinned count: the label seed's distinct AND contraction round
+    # 1's window both require exactly this clustering, so each runs
+    # with ZERO additional exchange off the one materialized shuffle.
+    _par = max(spark.sparkContext.defaultParallelism * 2, 8)
+    edges = e_fwd.unionByName(e_rev).repartition(_par, "esrc").persist()
 
     root = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
     if checkpoint_dir is None:
@@ -340,11 +358,70 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    # seed labels from the ORIGINAL node set — contraction below only
+    # rewrites edges, and the union in every propagation step carries
+    # `labels` through, so every original node keeps a label even if
+    # contraction leaves it without edges (e.g. self-loop inputs).
     labels = _checkpoint(
         edges.select(F.col("esrc").alias("node")).distinct()
         .withColumn("lbl", F.col("node")),
         0,
     )
+
+    # ---- large-star contraction rounds (r6; Kiveris et al. 2014) ----
+    # Each round connects every node's strictly-larger neighbors to the
+    # minimum of its closed neighborhood: one pinned-partition window
+    # min + filter + distinct, NO join. Large-star preserves components
+    # (lemma 1 of the paper), dense near-dup cliques collapse to stars
+    # in ONE round, and chain diameters roughly halve per round — so
+    # the min-label loop below then iterates over a drastically smaller
+    # edge set (measured at sf1.0: 34M directed edges -> ~3M after one
+    # round; each label iteration was ~130 s of executor time on the
+    # uncontracted graph). Rounds stop when the edge count stops
+    # shrinking by >=25%; convergence of the LABELS stays the label
+    # loop's job, so a conservative early stop here costs only speed,
+    # never correctness.
+    from pyspark.sql import Window as _W
+
+    par = _par
+    cur = edges
+    prev_n: int | None = None
+    for r in range(1, 11):
+        m = F.least(
+            F.min("edst").over(_W.partitionBy("esrc")), F.col("esrc")
+        )
+        obs_s = Observation(f"cc_star_{r}")
+        # round 1 reads the persisted edges, whose cached partitioning
+        # already satisfies the window — repartition only the
+        # parquet-read rounds
+        src_df = cur if r == 1 else cur.repartition(par, "esrc")
+        contracted = (
+            src_df
+            .withColumn("_m", m)
+            .where(F.col("edst") > F.col("esrc"))
+            .select(F.col("edst").alias("big"), F.col("_m").alias("small"))
+            .repartition(par, "big", "small")
+            .dropDuplicates()
+            .observe(obs_s, F.count(F.lit(1)).alias("n_edges"))
+        )
+        path = f"{root}/star_{r}"
+        contracted.write.mode("overwrite").parquet(path)
+        star = spark.read.parquet(path)
+        n_edges = int(obs_s.get["n_edges"] or 0)
+        if r == 1:
+            edges.unpersist()
+        shutil.rmtree(f"{root}/star_{r - 1}", ignore_errors=True)
+        cur = star.select(
+            F.col("big").alias("esrc"), F.col("small").alias("edst")
+        ).unionByName(
+            star.select(
+                F.col("small").alias("esrc"), F.col("big").alias("edst")
+            )
+        )
+        if prev_n is not None and n_edges >= prev_n * 0.75:
+            break
+        prev_n = n_edges
+    edges = cur.repartition(par, "esrc").persist()
 
     converged = False
     for it in range(1, max_iterations + 1):
@@ -386,11 +463,15 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    import glob as _glob
+
+    for d in _glob.glob(f"{root}/star_*"):
+        shutil.rmtree(d, ignore_errors=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations — component diameter exceeds the cap; raise "
-            "max_iterations or switch to large-star/small-star contraction"
+            "iterations — post-contraction component diameter exceeds "
+            "the cap; raise max_iterations"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")

@@ -55,8 +55,16 @@ def sessionize(
         prev_us.isNull() | ((ts_us - prev_us) > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # pin the window exchange's partition count (r6): session rows are
+    # narrow, so AQE's size-based coalescing collapses the per-user
+    # window sort to one task at bench scale; the pinned count derives
+    # from the cluster's core count. The windows and the session
+    # aggregate all cluster on the same key, so this is still the only
+    # exchange in the plan.
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        df.withColumn("_ts_us", ts_us_expr)
+        df.repartition(par, user_col)
+        .withColumn("_ts_us", ts_us_expr)
         .withColumn("_new", is_new)
         .withColumn("session_seq", F.sum("_new").over(wcum))
         .groupBy(F.col(user_col).alias("user_id"), "session_seq")

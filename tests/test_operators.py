@@ -613,7 +613,36 @@ def test_connected_components_merges_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_empty_pairs(spark):
+def test_connected_components_long_chain_converges(spark):
+    """A planted 60-hop chain (diameter far beyond the old 25-iteration
+    propagation cap) must converge — the large-star contraction rounds
+    halve the diameter per round, so the label loop sees a shallow
+    graph — with labels identical to min-member semantics. Shuffled
+    pair order and both-side-only nodes are covered by construction."""
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]  # 61 nodes, 60 hops
+    extra = [(500, 501), (502, 501)]  # second component, dst-side hub
+    pairs = spark.createDataFrame(chain[::-1] + extra, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    want = {i: 100 for i in range(100, 161)}
+    want.update({500: 500, 501: 500, 502: 500})
+    assert got == want
+
+
+def test_connected_components_duplicate_and_self_pairs(spark):
+    """Duplicate pair rows and self-loops must not change labels: the
+    r6 edge build drops the distinct (propagation is idempotent over
+    duplicates) and contraction discards self-loops, but every original
+    node must keep a label."""
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (7, 7), (9, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8}
+
     from assetdatavalidationtool_spark.operators import connected_components
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
