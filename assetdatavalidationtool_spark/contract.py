@@ -3483,3 +3483,32 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, verd.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry order (r6). The driver's correctness gate audits the FIRST 50
+# registry entries; rounds 1-5 registered the newest query families last,
+# so the 21 entries below position 50 (every image_*, corpus_contamination/
+# split/pack, text_repetition, text_lm_quality, similarity_ivf_recall,
+# incremental_verdicts) accumulated five rounds of local-mirror evidence but
+# zero driver rows (VERDICT r5, "Next round" #2). Re-order so the
+# never-driver-audited entries come first; the 50 long-audited ones keep
+# their relative order behind them and stay pinned by the local oracle
+# mirror (tests/test_contract.py covers all 71). Names, functions and
+# oracle SQL are untouched — this is purely registration order.
+# ---------------------------------------------------------------------------
+_R6_AUDIT_FIRST = [
+    "corpus_contamination", "corpus_split_assign", "text_repetition",
+    "corpus_pack_bins", "text_lm_quality", "image_gate",
+    "image_aspect_buckets", "image_curation_summary", "image_phash_clusters",
+    "image_phash_canonical", "image_shard_plan", "image_curation_pipeline",
+    "image_compression_stats", "similarity_ivf_recall", "image_exact_dup",
+    "image_caption_boilerplate", "image_dim_quantiles",
+    "crossmodal_consistency", "image_caption_stats",
+    "image_header_consistency", "incremental_verdicts",
+]
+assert set(_R6_AUDIT_FIRST) <= set(QUERIES), "registry drift vs audit list"
+_reordered = {n: QUERIES[n] for n in _R6_AUDIT_FIRST}
+_reordered.update({n: q for n, q in QUERIES.items() if n not in _reordered})
+QUERIES.clear()
+QUERIES.update(_reordered)
