@@ -86,10 +86,22 @@ def bucket_fingerprints(
     inherit (full recompute) rather than guess.
     """
     parts = []
+    schema_sigs = []
     for side, df in (("images", ctx.images), ("captions", ctx.captions)):
         if df is None:
             continue
         cols = sorted(c for c in df.columns if include_bytes or c != "bytes")
+        # r6 (ADVICE): pin the hashed columns' NAMES AND TYPES in the
+        # meta row. Value hashes alone cannot see a rename that keeps
+        # sorted position or a type migration with equal hashes
+        # (xxhash64(true) == xxhash64(1 as int)), so SchemaRule's day-1
+        # verdicts could be inherited across exactly the schema drift
+        # SchemaRule exists to catch. Any schema difference now
+        # disables inheritance (full recompute — the safe direction).
+        dtypes = dict(df.dtypes)
+        schema_sigs.append(
+            f"{side}=" + ",".join(f"{c}:{dtypes[c]}" for c in cols)
+        )
         # xxhash64 SKIPS null inputs, so (w=512, h=NULL) and
         # (w=NULL, h=512) would hash identically — exactly the
         # column-swap corruption validation exists to catch. Appending
@@ -115,6 +127,7 @@ def bucket_fingerprints(
             ctx.num_buckets,
             f"key={ctx.key_col}|bytes={int(include_bytes)}"
             f"|custom_bucket={int(ctx.bucket_expr is not None)}"
+            f"|schema:{';'.join(schema_sigs)}"
             f"{extra_meta}",
         )],
         FINGERPRINT_SCHEMA,
@@ -339,11 +352,39 @@ class ValidationRun:
             fp_rows = bucket_fingerprints(
                 ctx, fingerprint_bytes, extra_meta=f"|rules={rules_sig}"
             ).collect()
+            if not fingerprint_bytes:
+                byte_rules = [
+                    r.name for r in self.rules
+                    if r.name.startswith(("row_invariant", "header"))
+                ]
+                if byte_rules:
+                    # r6 (ADVICE): metadata-only fingerprints cannot see
+                    # payload-only edits (truncation never surfaces in
+                    # stored w/h/fmt/phash), so byte-reading rules'
+                    # verdicts may be inherited over silently corrupted
+                    # payloads. Warn, don't refuse — the caller may have
+                    # an upstream payload-immutability guarantee (e.g.
+                    # content-addressed storage).
+                    import warnings
+
+                    warnings.warn(
+                        "fingerprint_bytes=False with byte-reading rules "
+                        f"{byte_rules}: payload-only edits (e.g. "
+                        "truncation) do not surface in metadata "
+                        "fingerprints, so these rules' day-1 verdicts "
+                        "can be inherited over corrupted payloads",
+                        stacklevel=2,
+                    )
+        inherited_now: dict[str, set[int]] = {}
         if incremental_from is not None:
             unchanged = self._unchanged_buckets(fp_rows, incremental_from)
             if unchanged:
+                pre = {r: set(b) for r, b in done.items()}
                 self._inherit(ctx, incremental_from, unchanged, done,
                               seq, summary)
+                inherited_now = {
+                    r: done[r] - pre.get(r, set()) for r in done
+                }
 
         for rule in self.rules:
             aligned = rule_is_bucket_aligned(rule, ctx)
@@ -356,7 +397,14 @@ class ValidationRun:
                     else all_buckets
                 )
                 todo = target - done_buckets
-                summary["buckets_skipped"] += len(done_buckets & target)
+                # r6 (ADVICE): buckets inherited THIS invocation are
+                # reported under buckets_inherited only — counting them
+                # into buckets_skipped as well double-reported every
+                # inherited bucket and inflated the resume-skip stat
+                summary["buckets_skipped"] += len(
+                    (done_buckets & target)
+                    - inherited_now.get(rule.name, set())
+                )
                 if not todo:
                     summary["rules_skipped"] += 1
                     continue
@@ -455,6 +503,16 @@ class ValidationRun:
         cur_sides = {s for s, _ in cur if s != "_meta"}
         bas_sides = {s for s, _ in bas if s != "_meta"}
         if cur_sides != bas_sides:
+            return set()
+        # r6 (ADVICE): a custom bucket_expr may emit NULL or
+        # out-of-range bucket values; rows in such buckets would escape
+        # the per-bucket comparison below entirely, so their churn
+        # could never mark anything changed. Any observed bucket key
+        # outside range(num_buckets) on either run disables inheritance
+        # wholesale (full recompute — the safe direction).
+        observed = {b for s, b in (set(cur) | set(bas)) if s != "_meta"}
+        if any(b is None or not (0 <= b < self.num_buckets)
+               for b in observed):
             return set()
         # a bucket absent on both sides (zero rows in both runs) is
         # unchanged; absent in exactly one is changed

@@ -288,6 +288,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    contract_min_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph →
     ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum member
@@ -384,44 +385,84 @@ def connected_components(
     from pyspark.sql import Window as _W
 
     par = _par
-    cur = edges
-    prev_n: int | None = None
-    for r in range(1, 11):
-        m = F.least(
-            F.min("edst").over(_W.partitionBy("esrc")), F.col("esrc")
-        )
-        obs_s = Observation(f"cc_star_{r}")
-        # round 1 reads the persisted edges, whose cached partitioning
-        # already satisfies the window — repartition only the
-        # parquet-read rounds
-        src_df = cur if r == 1 else cur.repartition(par, "esrc")
-        contracted = (
-            src_df
-            .withColumn("_m", m)
-            .where(F.col("edst") > F.col("esrc"))
-            .select(F.col("edst").alias("big"), F.col("_m").alias("small"))
-            .repartition(par, "big", "small")
-            .dropDuplicates()
-            .observe(obs_s, F.count(F.lit(1)).alias("n_edges"))
-        )
-        path = f"{root}/star_{r}"
-        contracted.write.mode("overwrite").parquet(path)
-        star = spark.read.parquet(path)
-        n_edges = int(obs_s.get["n_edges"] or 0)
-        if r == 1:
-            edges.unpersist()
-        shutil.rmtree(f"{root}/star_{r - 1}", ignore_errors=True)
-        cur = star.select(
-            F.col("big").alias("esrc"), F.col("small").alias("edst")
-        ).unionByName(
-            star.select(
-                F.col("small").alias("esrc"), F.col("big").alias("edst")
+
+    def _contract(start_edges: DataFrame) -> DataFrame:
+        """Run large-star rounds over ``start_edges`` (persisted,
+        hash-partitioned on esrc — round 1 reuses that partitioning)
+        and return a NEW persisted, partitioned directed edge table;
+        ``start_edges`` is unpersisted once its last read completes."""
+        cur = start_edges
+        prev_sig: tuple[int, int] | None = None
+        for r in range(1, 11):
+            m = F.least(
+                F.min("edst").over(_W.partitionBy("esrc")), F.col("esrc")
             )
-        )
-        if prev_n is not None and n_edges >= prev_n * 0.75:
-            break
-        prev_n = n_edges
-    edges = cur.repartition(par, "esrc").persist()
+            obs_s = Observation(f"cc_star_{id(start_edges)}_{r}")
+            src_df = cur if r == 1 else cur.repartition(par, "esrc")
+            contracted = (
+                src_df
+                .withColumn("_m", m)
+                .where(F.col("edst") > F.col("esrc"))
+                .select(F.col("edst").alias("big"), F.col("_m").alias("small"))
+                .repartition(par, "big", "small")
+                .dropDuplicates()
+                .observe(
+                    obs_s,
+                    F.count(F.lit(1)).alias("n_edges"),
+                    # order-independent multiset signature: stop when
+                    # the edge SET stops changing (a chain keeps its
+                    # edge COUNT while its diameter halves per round,
+                    # so a count-based stop would quit too early). A
+                    # signature collision merely stops rounds early —
+                    # the label loop still converges correctly, just
+                    # with more iterations.
+                    # hashes wrapped to < 2^30 so the BIGINT sum cannot
+                    # overflow (ANSI mode errors on overflow) below
+                    # ~2^33 edges; beyond that the 10-round cap governs
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64(F.col("big"), F.col("small")),
+                            F.lit(1_000_000_007),
+                        )
+                    ).alias("sig"),
+                )
+            )
+            path = f"{root}/star_{r}"
+            contracted.write.mode("overwrite").parquet(path)
+            star = spark.read.parquet(path)
+            sig = (int(obs_s.get["n_edges"] or 0), int(obs_s.get["sig"] or 0))
+            if r == 1:
+                start_edges.unpersist()
+            shutil.rmtree(f"{root}/star_{r - 1}", ignore_errors=True)
+            cur = star.select(
+                F.col("big").alias("esrc"), F.col("small").alias("edst")
+            ).unionByName(
+                star.select(
+                    F.col("small").alias("esrc"), F.col("big").alias("edst")
+                )
+            )
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        return cur.repartition(par, "esrc").persist()
+
+    # Contraction gates (r6): contract IMMEDIATELY when the edge table
+    # is large (below ~contract_min_edges directed edges a propagation
+    # iteration costs about the same as a contraction round — both are
+    # dominated by per-job fixed overhead — so contraction could only
+    # add latency there: measured +3-4 s on the small document-dedup
+    # graphs at sf1.0, −50% on the 34M-edge image graph); contract
+    # LAZILY for a small graph that turns out to be deep (the label
+    # loop still unconverged after 8 rounds ⇒ diameter > 8), so a
+    # planted 60-hop chain converges well inside ``max_iterations``
+    # instead of raising like the r5 propagation-only loop would. The
+    # count() also pre-materializes the edge cache the label seed reads
+    # either way. The threshold scales with the data, not the local
+    # core count, and is a parameter.
+    contracted_done = False
+    if edges.count() >= contract_min_edges:
+        edges = _contract(edges)
+        contracted_done = True
 
     converged = False
     for it in range(1, max_iterations + 1):
@@ -462,6 +503,13 @@ def connected_components(
         if n_changed == 0:
             converged = True
             break
+        if not contracted_done and it >= 8:
+            # small-but-deep graph: switch to the contracted edge set;
+            # current labels are valid intermediate minima, propagation
+            # over any component-preserving edge set continues to the
+            # same fixpoint
+            edges = _contract(edges)
+            contracted_done = True
     edges.unpersist()
     import glob as _glob
 

@@ -492,11 +492,18 @@ def embedding_near_duplicates(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # pinned partition counts (r6): candidate pairs are narrow and
+    # compress hard, so AQE's size-based coalescing serialized the
+    # distinct and the two vector-refine joins onto 1-3 tasks at
+    # sf1.0 (1.8M candidate pairs, 17 s on 3 tasks). Counts derive
+    # from cluster cores.
+    par = df.sparkSession.sparkContext.defaultParallelism * 4
     cand = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("a._vid") < F.col("b._vid"))
         .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
-        .distinct()
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates()
     )
     # per-vector norm staged once (r6) — an id appearing in many
     # candidate pairs pays its norm aggregate once, not per pair
@@ -505,7 +512,9 @@ def embedding_near_duplicates(
     vb = ids.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vb"),
                     _norm(F.col("_vec")).alias("nb"))
     return (
-        cand.join(va, "id_a")
+        cand.repartition(par, "id_a")
+        .join(va, "id_a")
+        .repartition(par, "id_b")
         .join(vb, "id_b")
         .withColumn(
             "_cos",
