@@ -330,19 +330,19 @@ def connected_components(
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession
-    e_fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-    e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
     # r6: no edge distinct — every upstream pair source here emits
-    # distinct (a<b) pairs already, so fwd∪rev is distinct by
-    # construction, and both contraction and min-label propagation are
-    # idempotent over duplicate edges (identical labels either way; a
-    # caller passing heavily duplicated pairs only pays proportionally
-    # more first-round volume). Persist HASH-PARTITIONED on esrc with a
-    # pinned count: the label seed's distinct AND contraction round
-    # 1's window both require exactly this clustering, so each runs
-    # with ZERO additional exchange off the one materialized shuffle.
+    # distinct (a<b) pairs already, and both contraction and min-label
+    # propagation are idempotent over duplicate edges (identical labels
+    # either way; a caller passing heavily duplicated pairs only pays
+    # proportionally more first-round volume). The CANONICAL pair table
+    # is what gets persisted (half the rows of the directed form);
+    # whether the directed union is ever materialized depends on the
+    # contraction gate below.
     _par = max(spark.sparkContext.defaultParallelism * 2, 8)
-    edges = e_fwd.unionByName(e_rev).repartition(_par, "esrc").persist()
+    pairs_p = pairs.select(
+        F.col(src).alias("pa"), F.col(dst).alias("pb")
+    ).persist()
+    n_directed = 2 * pairs_p.count()
 
     root = checkpoint_dir or tempfile.mkdtemp(prefix="spark_cc_")
     if checkpoint_dir is None:
@@ -359,15 +359,40 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    # seed labels from the ORIGINAL node set — contraction below only
-    # rewrites edges, and the union in every propagation step carries
-    # `labels` through, so every original node keeps a label even if
-    # contraction leaves it without edges (e.g. self-loop inputs).
-    labels = _checkpoint(
-        edges.select(F.col("esrc").alias("node")).distinct()
-        .withColumn("lbl", F.col("node")),
-        0,
+    # Per-node closed-neighborhood minima, ONE aggregate over both
+    # orientations (r6b): this single table seeds the labels (its node
+    # set IS the original node set — contraction below only rewrites
+    # edges, and the union in every propagation step carries `labels`
+    # through, so every original node keeps a label even if contraction
+    # leaves it edgeless) and, on the fast contraction path, doubles as
+    # the round-1 min table. Checkpointed so both consumers read one
+    # materialization: per-partition group cardinality here is near the
+    # node count, so partial aggregation barely shrinks the stream and
+    # recomputing it would be the plan's single heaviest stage.
+    nm_path = f"{root}/node_mins"
+    nm_plan = (
+        pairs_p.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+        .unionByName(
+            pairs_p.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+        )
+        .groupBy("node")
+        .agg(F.min("nbr").alias("mn"))
     )
+    _will_contract = n_directed >= contract_min_edges
+    if _will_contract:
+        # two consumers (label seed + round-1 min table): materialize
+        nm_plan.write.mode("overwrite").parquet(nm_path)
+        node_mins = spark.read.parquet(nm_path)
+        labels = _checkpoint(
+            node_mins.select("node", F.col("node").alias("lbl")), 0
+        )
+    else:
+        # single consumer: the label-seed checkpoint IS the
+        # materialization, no separate node_mins round trip
+        node_mins = None
+        labels = _checkpoint(
+            nm_plan.select("node", F.col("node").alias("lbl")), 0
+        )
 
     # ---- large-star contraction rounds (r6; Kiveris et al. 2014) ----
     # Each round connects every node's strictly-larger neighbors to the
@@ -386,14 +411,17 @@ def connected_components(
 
     par = _par
 
-    def _contract(start_edges: DataFrame) -> DataFrame:
-        """Run large-star rounds over ``start_edges`` (persisted,
-        hash-partitioned on esrc — round 1 reuses that partitioning)
+    def _contract(
+        start_edges: DataFrame,
+        start_round: int = 1,
+        prev_sig: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Run large-star rounds over ``start_edges`` (when persisted
+        hash-partitioned on esrc, round 1 reuses that partitioning)
         and return a NEW persisted, partitioned directed edge table;
         ``start_edges`` is unpersisted once its last read completes."""
         cur = start_edges
-        prev_sig: tuple[int, int] | None = None
-        for r in range(1, 11):
+        for r in range(start_round, 11):
             m = F.least(
                 F.min("edst").over(_W.partitionBy("esrc")), F.col("esrc")
             )
@@ -456,13 +484,71 @@ def connected_components(
     # loop still unconverged after 8 rounds ⇒ diameter > 8), so a
     # planted 60-hop chain converges well inside ``max_iterations``
     # instead of raising like the r5 propagation-only loop would. The
-    # count() also pre-materializes the edge cache the label seed reads
+    # count() also pre-materializes the pair cache the label seed reads
     # either way. The threshold scales with the data, not the local
     # core count, and is a parameter.
     contracted_done = False
-    if edges.count() >= contract_min_edges:
-        edges = _contract(edges)
+    if _will_contract:
+        # Round 1 straight off the CANONICAL pair table (r6b): the
+        # directed union is never materialized — per-node closed-
+        # neighborhood minima come from a map-side-partial aggregate
+        # over both orientations (full volume shrinks to one row per
+        # node before its shuffle), and the emissions (v, m(u)) for
+        # v > u are exactly one join of the canonical pairs (u=a, v=b)
+        # against that min table. Equivalent to the window round 1
+        # over directed edges, minus a full-edge exchange and a
+        # full-edge sort. Self-loops are dropped (they emit nothing in
+        # the window form either); reversed inputs are canonicalized.
+        pc = pairs_p.select(
+            F.least("pa", "pb").alias("pa"),
+            F.greatest("pa", "pb").alias("pb"),
+        ).where(F.col("pa") != F.col("pb"))
+        mins = node_mins.select(
+            "node", F.least("mn", "node").alias("m")
+        )
+        obs1 = Observation("cc_star_fast1")
+        r1 = (
+            pc.join(mins, pc["pa"] == mins["node"])
+            .select(F.col("pb").alias("big"), F.col("m").alias("small"))
+            .repartition(par, "big", "small")
+            .dropDuplicates()
+            .observe(
+                obs1,
+                F.count(F.lit(1)).alias("n_edges"),
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(F.col("big"), F.col("small")),
+                        F.lit(1_000_000_007),
+                    )
+                ).alias("sig"),
+            )
+        )
+        r1.write.mode("overwrite").parquet(f"{root}/star_1")
+        star1 = spark.read.parquet(f"{root}/star_1")
+        sig1 = (int(obs1.get["n_edges"] or 0), int(obs1.get["sig"] or 0))
+        pairs_p.unpersist()
+        cur1 = star1.select(
+            F.col("big").alias("esrc"), F.col("small").alias("edst")
+        ).unionByName(
+            star1.select(
+                F.col("small").alias("esrc"), F.col("big").alias("edst")
+            )
+        )
+        edges = _contract(cur1, start_round=2, prev_sig=sig1)
         contracted_done = True
+    else:
+        edges = (
+            pairs_p.select(F.col("pa").alias("esrc"), F.col("pb").alias("edst"))
+            .unionByName(
+                pairs_p.select(
+                    F.col("pb").alias("esrc"), F.col("pa").alias("edst")
+                )
+            )
+            .repartition(_par, "esrc")
+            .persist()
+        )
+        edges.count()  # materialize off the pair cache before freeing it
+        pairs_p.unpersist()
 
     converged = False
     for it in range(1, max_iterations + 1):
@@ -515,6 +601,7 @@ def connected_components(
 
     for d in _glob.glob(f"{root}/star_*"):
         shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(nm_path, ignore_errors=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

@@ -630,6 +630,24 @@ def test_connected_components_long_chain_converges(spark):
     assert got == want
 
 
+def test_connected_components_fast_path_matches_small_path(spark):
+    """contract_min_edges=0 forces the immediate-contraction fast path
+    (round 1 computed straight off the canonical pair table) on a
+    fixture that also covers reversed pairs, duplicates, self-loops
+    and a chain — labels must equal the small-path propagation's."""
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    rows = [(3, 4), (2, 3), (1, 2), (10, 11), (9, 8), (9, 8), (7, 7),
+            (20, 21), (22, 21)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, contract_min_edges=0).collect()}
+    slow = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+    assert fast == slow
+    assert fast[4] == 1 and fast[8] == 8 and fast[7] == 7 and fast[22] == 20
+
+
 def test_connected_components_duplicate_and_self_pairs(spark):
     """Duplicate pair rows and self-loops must not change labels: the
     r6 edge build drops the distinct (propagation is idempotent over
