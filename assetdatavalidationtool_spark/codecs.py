@@ -197,13 +197,27 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a.shape != b.shape:
         return float("-inf")
     if a.dtype == np.uint8 and b.dtype == np.uint8:
-        # integer diff path — bit-identical to the float64 formulation
-        # (every squared diff <= 255² is exact in int32; the float64-
-        # accumulated sum stays < 2^53 so the mean is exact regardless
-        # of summation order) at ~2.5x the speed / half the temporaries
-        d = a.astype(np.int16) - b.astype(np.int16)
-        d32 = d.astype(np.int32)
-        mse = np.mean(d32 * d32, dtype=np.float64)
+        # equality short-circuit (r6): in the validation pass MOST rows
+        # are bit-exact matches (lossless formats), and a uint8 compare
+        # reads 1 byte/element with no temporaries vs the diff path's
+        # int16 casts — measured ~2.5x on the matching rows, and the
+        # unequal rows pay only this cheap pre-scan before the real MSE
+        if np.array_equal(a, b):
+            return float("inf")
+        # integer diff path — bit-identical to the float64 formulation:
+        # every diff is an exact integer in [-255, 255], every square
+        # <= 255² is exact in float64, and the accumulated sum stays
+        # < 2^53 for any image under ~180 gigapixels, so the fused
+        # sum-of-squares is exact regardless of summation order (same
+        # value np.mean(d32*d32, dtype=float64) produced). einsum, NOT
+        # np.dot: OpenBLAS ddot spins up one thread per core, and 8
+        # concurrent Arrow workers each doing that on every row
+        # oversubscribes the executor; einsum is single-threaded SIMD
+        # and measured within ~25% of ddot at this size
+        d = (a.astype(np.int16) - b.astype(np.int16)).ravel().astype(
+            np.float64
+        )
+        mse = np.einsum("i,i->", d, d) / d.size
     else:
         mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0.0:

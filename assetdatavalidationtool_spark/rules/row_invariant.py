@@ -57,11 +57,18 @@ def _check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         psnrs = np.full(n, np.nan)
         pixel_ok = np.zeros(n, dtype=bool)
         caption_ok = np.zeros(n, dtype=bool)
+        # r6: one bulk tolist per column instead of per-row .iat —
+        # the Python loop then touches plain lists (a few µs/row saved
+        # across 80k rows, and no pandas block-manager calls in the
+        # hot loop)
         ids = pdf["image_id"].tolist()
+        fmts = pdf["fmt"].tolist()
+        datas = pdf["bytes"].tolist()
+        caps = pdf["caption"].tolist()
         for j in range(n):
             image_id = ids[j]
-            fmt = pdf["fmt"].iat[j]
-            data = pdf["bytes"].iat[j]
+            fmt = fmts[j]
+            data = datas[j]
             try:
                 i = int(image_id.split("_")[-1])
                 expected = row_params(i)
@@ -78,7 +85,7 @@ def _check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 else:
                     psnrs[j] = p
                 pixel_ok[j] = (p == float("inf")) if fmt == "png" else (p >= PSNR_GATE_DB)
-                caption_ok[j] = pdf["caption"].iat[j] == expected["caption"]
+                caption_ok[j] = caps[j] == expected["caption"]
             except Exception:
                 pixel_ok[j] = False
                 caption_ok[j] = False

@@ -169,3 +169,42 @@ def test_c_codec_seam_prefers_c_path_and_is_bit_identical(monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_NO_C_CODEC", "1")
         calls.clear()
         assert np.array_equal(codecs.decode_png(data), pure) and not calls
+
+
+def test_psnr_fused_path_matches_float64_reference():
+    """r6 guard: the uint8 fast path (equality short-circuit + fused
+    einsum sum-of-squares) must equal the naive float64 formulation
+    bit-for-bit — the PSNR gate and the violation detail strings both
+    derive from this value."""
+    rng = np.random.RandomState(7)
+    for shape in [(8, 6, 3), (64, 64, 3), (512, 256, 3), (1, 1, 3)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for mutate in (False, True):
+            b = a.copy()
+            if mutate:
+                b.flat[:: max(b.size // 17, 1)] ^= 5
+            ref_mse = np.mean(
+                (a.astype(np.float64) - b.astype(np.float64)) ** 2
+            )
+            expect = (
+                float("inf")
+                if ref_mse == 0.0
+                else float(20.0 * np.log10(255.0) - 10.0 * np.log10(ref_mse))
+            )
+            assert psnr(a, b) == expect
+
+
+def test_render_image_frozen_bytes():
+    """r6 guard: render_image output is pinned — the validation UDF
+    re-renders references that must stay bit-identical to images
+    generated (and parquet-cached) by any earlier code version."""
+    import hashlib
+
+    pins = {
+        ("img_000000000003", 96, 64): "89c4451842922e418b158ce6dbc19be5",
+        ("img_000000000011", 128, 128): "f0453e1377537fb9e25528cc04d12855",
+        ("img_000000000042", 512, 64): "868aa7b487cb87d9db0c24878379a348",
+    }
+    for (iid, w, h), want in pins.items():
+        got = hashlib.md5(render_image(iid, w, h).tobytes()).hexdigest()
+        assert got == want, f"{iid} {w}x{h}: {got} != {want}"
