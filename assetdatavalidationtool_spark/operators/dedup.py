@@ -38,6 +38,42 @@ def _sweep_cc_roots() -> None:
         _shutil.rmtree(d, ignore_errors=True)
 
 
+def _hash_to_min_labels(u, v, n: int):
+    """Min-label connected components over a factorized edge list on
+    the DRIVER (r6): vectorized hash-to-min with pointer jumping. Each
+    round takes the edge-wise minimum of the two endpoint labels
+    (``np.minimum.at`` — unbuffered, duplicate-safe) and then jumps
+    every label to its label's label, so the distance from any node to
+    its component minimum at least halves per round → O(log diameter)
+    rounds, each one O(E) of pure numpy.
+
+    Correctness invariants (each is inductive over rounds): labels only
+    decrease; ``lbl[i] <= i``; every label value is a member of its
+    node's component (edge steps copy a neighbor's label, jumps copy a
+    component member's label). At the fixpoint the two endpoint labels
+    agree on every edge and the pointer map is idempotent, so each
+    component carries exactly one label c with lbl[c] == c; c is a
+    member and c <= every member, i.e. c IS the minimum member — the
+    same labeling the distributed loop converges to. Returns
+    ``lbl`` with ``lbl[i]`` = smallest member index of i's component.
+    """
+    import numpy as np
+
+    lbl = np.arange(n, dtype=np.int64)
+    if len(u) == 0:
+        return lbl
+    for _ in range(64):  # 2^64 nodes worth of halvings — unreachable
+        m = np.minimum(lbl[u], lbl[v])
+        new = lbl.copy()
+        np.minimum.at(new, u, m)
+        np.minimum.at(new, v, m)
+        new = new[new]
+        if np.array_equal(new, lbl):
+            return lbl
+        lbl = new
+    raise RuntimeError("hash-to-min did not converge in 64 rounds")
+
+
 def norm_text(c: F.Column) -> F.Column:
     """lowercase + trim + collapse whitespace — THE canonical text form,
     shared by fingerprinting and caption-boilerplate screening so their
@@ -289,6 +325,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
     contract_min_edges: int = 1_000_000,
+    driver_finish_max_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph →
     ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum member
@@ -296,7 +333,14 @@ def connected_components(
     (from LSH / Jaccard / SimHash) into dedup GROUPS: keep one doc per
     cluster, drop the rest.
 
-    Algorithm (r6): large-star contraction rounds (Kiveris et al.,
+    Algorithm (r6): when the whole pair set fits a bounded driver
+    budget (``driver_finish_max_pairs``, default 5M pairs ≈ a few
+    hundred MB), the entire computation runs on the driver as one
+    Arrow transfer + a vectorized hash-to-min
+    (:func:`_hash_to_min_labels`) — the broadcast-join principle
+    applied to an iterative algorithm; the collect is bounded by the
+    gate, exactly like the histogram/centroid collects elsewhere.
+    Otherwise: large-star contraction rounds (Kiveris et al.,
     "Connected Components in MapReduce and Beyond" — window-min per
     node, components preserved, cliques collapse to stars in one round
     and chain diameters roughly halve per round, so high-diameter
@@ -358,6 +402,70 @@ def connected_components(
         path = f"{root}/iter_{it}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def _driver_finish(edge_df: DataFrame) -> DataFrame:
+        """Bounded driver finish (r6): when the whole pair set fits the
+        driver budget, ONE Arrow ``toPandas`` plus a vectorized
+        hash-to-min replaces the node aggregate, the contraction rounds
+        and the label loop — each of which costs joins/aggregates plus
+        checkpoint round-trips of mostly fixed overhead at this size.
+        This is the broadcast-join principle applied to an iterative
+        algorithm: once the graph fits one machine, stop iterating over
+        the cluster. The collect is BOUNDED by
+        ``driver_finish_max_pairs`` (checked by the caller) — the same
+        bounded-collect class as histogram bins and IVF centroids; at
+        100 TB the pair set blows the bound and the distributed path
+        below runs unchanged. Duplicate rows, reversed pairs and
+        self-loops are all no-ops for hash-to-min, so the raw pair
+        table is passed as-is (its endpoint union IS the label node
+        set, same as the distributed seed). Measured crossover: at
+        ~200k pairs the driver finish is ~4x faster than the
+        distributed path; at ~2-3M (contracted image graph, string
+        ids) pandas factorize + the result round-trip already LOSE to
+        the distributed label loop — which is why there is
+        deliberately no post-contraction driver gate."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        pdf = edge_df.toPandas()
+        # sort=True: code order == value order (pandas str comparison is
+        # code-point order == Spark's UTF8 binary order for valid
+        # UTF-8), so the min CODE per component is the min VALUE —
+        # matching F.min's semantics on both long and string ids
+        codes, uniq = pd.factorize(
+            pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True),
+            sort=True,
+        )
+        m = len(pdf)
+        lbl = _hash_to_min_labels(codes[:m], codes[m:], len(uniq))
+        uniq = np.asarray(uniq)
+        node_t = edge_df.schema[0].dataType
+        out_pdf = pd.DataFrame({"node": uniq, "lbl": uniq[lbl]})
+        sdf = spark.createDataFrame(
+            out_pdf,
+            T.StructType(
+                [
+                    T.StructField("node", node_t, True),
+                    T.StructField("lbl", node_t, True),
+                ]
+            ),
+        )
+        path = f"{root}/final_driver"
+        sdf.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # r6 driver finish, gate 1: the whole pair set already fits the
+    # driver budget — skip the node aggregate, the contraction rounds
+    # and the label loop outright (at bench scale these are pure
+    # fixed-overhead jobs; at real scale this gate simply never fires
+    # pre-contraction)
+    if 0 < n_directed <= 2 * driver_finish_max_pairs:
+        labels = _driver_finish(pairs_p)
+        pairs_p.unpersist()
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
 
     # Per-node closed-neighborhood minima, ONE aggregate over both
     # orientations (r6b): this single table seeds the labels (its node

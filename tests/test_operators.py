@@ -624,10 +624,35 @@ def test_connected_components_long_chain_converges(spark):
     chain = [(i, i + 1) for i in range(100, 160)]  # 61 nodes, 60 hops
     extra = [(500, 501), (502, 501)]  # second component, dst-side hub
     pairs = spark.createDataFrame(chain[::-1] + extra, "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     want = {i: 100 for i in range(100, 161)}
     want.update({500: 500, 501: 500, 502: 500})
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == want
+    # driver finish disabled: the lazy-contraction + label-loop path
+    # (the shape this test existed for) must still converge on its own
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, driver_finish_max_pairs=0).collect()}
+    assert dist == want
+
+
+def test_connected_components_deep_clique_chain_distributed(spark):
+    """A small-but-deep clique chain that blows a tiny driver budget
+    must converge on the distributed path alone (label loop → lazy
+    contraction at round 8 → label loop on the contracted graph)."""
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    rows = []
+    for c in range(20):  # 20 10-cliques bridged into one 40-hop chain
+        base = c * 10
+        rows += [(base + i, base + j) for i in range(10) for j in range(i + 1, 10)]
+        if c:
+            rows.append((base - 1, base))
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(
+               pairs, driver_finish_max_pairs=460).collect()}
+    assert got == {n: 0 for n in range(200)}
 
 
 def test_connected_components_fast_path_matches_small_path(spark):
@@ -1690,3 +1715,87 @@ def test_header_consistency_real_payloads(spark):
         for r in header_consistency(df, check_truncation=False).collect()
     }
     assert got_notrunc["cut_tail"] is None
+
+
+def test_hash_to_min_labels_matches_union_find():
+    """r6 driver-finish kernel: vectorized hash-to-min must equal a
+    union-find reference on every graph shape that breaks naive
+    propagation (chains, stars, cycles, duplicates, self-loops,
+    singletons, random graphs)."""
+    import random
+
+    import numpy as np
+
+    from assetdatavalidationtool_spark.operators.dedup import (
+        _hash_to_min_labels,
+    )
+
+    def uf(edges, n):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return [find(i) for i in range(n)]
+
+    rng = random.Random(7)
+    cases = [
+        ([], 0),
+        ([], 5),
+        ([(0, 0)], 3),
+        ([(i, i + 1) for i in range(40)], 41),              # long chain
+        ([(i + 1, i) for i in range(40)], 41),              # reversed
+        ([(0, i) for i in range(1, 12)], 12),               # star
+        ([(1, 2), (1, 2), (2, 1)], 4),                      # duplicates
+        ([(rng.randrange(60), rng.randrange(60)) for _ in range(80)], 60),
+        ([(rng.randrange(200), rng.randrange(200)) for _ in range(120)], 200),
+    ]
+    for edges, n in cases:
+        u = np.array([a for a, _ in edges], dtype=np.int64)
+        v = np.array([b for _, b in edges], dtype=np.int64)
+        got = _hash_to_min_labels(u, v, n)
+        assert list(got) == uf(edges, n), f"edges={edges} n={n}"
+
+
+def test_connected_components_driver_finish_matches_distributed(spark):
+    """r6: all three execution shapes — driver finish (default),
+    contraction + driver finish (contract_min_edges=0), and the fully
+    distributed contraction + label loop (driver_finish_max_pairs=0) —
+    must yield identical labels, on long/string ids alike."""
+    from assetdatavalidationtool_spark.operators import connected_components
+
+    rows = [(3, 4), (2, 3), (1, 2), (10, 11), (9, 8), (9, 8), (7, 7),
+            (20, 21), (22, 21)] + [(i, i + 1) for i in range(100, 130)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    want = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, driver_finish_max_pairs=0).collect()}
+    driver = {r["doc_id"]: r["cluster_id"]
+              for r in connected_components(pairs).collect()}
+    contracted = {r["doc_id"]: r["cluster_id"]
+                  for r in connected_components(
+                      pairs, contract_min_edges=0).collect()}
+    mixed = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(
+                 pairs, contract_min_edges=0,
+                 driver_finish_max_pairs=0).collect()}
+    assert driver == want and contracted == want and mixed == want
+    assert want[4] == 1 and want[22] == 20 and want[129] == 100
+
+    spairs = spark.createDataFrame(
+        [(f"img_{a}", f"img_{b}") for a, b in rows],
+        "doc_a string, doc_b string",
+    )
+    sdriver = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(spairs).collect()}
+    swant = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(
+                 spairs, driver_finish_max_pairs=0).collect()}
+    assert sdriver == swant and sdriver["img_4"] == "img_1"
