@@ -444,6 +444,33 @@ class ValidationRun:
                 m.select("metric", "column", F.col("value").cast("double")).write.mode(
                     "overwrite"
                 ).parquet(f"{self.out}/metrics/run_id={self.run_id}/rule={rule.name}")
+            # r6: collect the manifest rows from the verdicts parquet
+            # that was JUST written, not from the verd plan — verd is
+            # not persisted, so a plan-side collect would re-execute
+            # the whole verdict subtree (the per-bucket images scan +
+            # the violation aggregate) a second time per rule. The
+            # written table is a handful of rows; reading it back is a
+            # metadata-cheap job and provably the same data.
+            from pyspark.errors import AnalysisException
+
+            try:
+                verd_tbl = self.spark.read.parquet(
+                    f"{self.out}/verdicts/run_id={self.run_id}"
+                    f"/rule={rule.name}"
+                )
+                if aligned:
+                    # the dir may already hold buckets _inherit wrote
+                    # earlier this invocation (dynamic partition
+                    # overwrite merges) — the manifest 'done' rows must
+                    # cover exactly the buckets COMPUTED here
+                    verd_tbl = verd_tbl.where(
+                        F.col("bucket").isin([int(b) for b in todo])
+                    )
+                verd_rows = verd_tbl.select(
+                    "bucket", "rows_scanned", "violation_count"
+                ).collect()
+            except AnalysisException:
+                verd_rows = []  # empty partitioned write leaves no files
             rows = [
                 (
                     self.run_id,
@@ -455,9 +482,7 @@ class ValidationRun:
                     float(time.time() - t0),
                     seq,
                 )
-                for r in verd.select(
-                    "bucket", "rows_scanned", "violation_count"
-                ).collect()
+                for r in verd_rows
             ]
             if not aligned:
                 # global rules record a single unit even with no verdicts
